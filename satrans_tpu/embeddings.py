@@ -1,0 +1,135 @@
+"""Fused embedding bank: one gather for all sparse fields.
+
+The reference keeps a ``nn.ModuleDict`` of per-field ``nn.Embedding`` tables
+and performs one gather per field per step (reference
+models/basemodel.py:95-121 ``create_embedding_matrix`` and :461-487
+``input_from_feature_columns``: 19 separate lookups for AliCCP).
+
+TPU-first redesign: all tables are concatenated row-wise into ONE
+``[total_rows, dim]`` bank.  A whole-batch lookup is then a single gather
+
+    bank[ids + field_offsets]        # ids: int32 [B, S]
+
+which XLA lowers to one fused dynamic-gather - minimal kernel launches, one
+HBM stream, and the bank is a single tensor that can be row-sharded across a
+device mesh (``PartitionSpec('data', None)``) at pod scale.
+
+The same layout serves the first-order "Linear" model (1-dim embeddings
+summed, reference basemodel.py:34-92) with a ``[total_rows, 1]`` bank.
+
+L2 regularization semantics: the reference adds ``l2 * sum(W^2)`` over the
+FULL tables every step (basemodel.py:180, 519-535), which makes every step's
+gradient dense in the embedding tables.  ``l2_loss`` reproduces that exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .features import FeatureLayout
+from .nn import initializers as init
+
+
+def bank_init(key, layout: FeatureLayout, *, dim: int | None = None,
+              init_std: float | None = 1e-4):
+    """Create the fused bank.
+
+    ``init_std=None`` leaves the bank uninitialized-normal(0,1)? No - it maps
+    to the reference's ``noembinit`` flag (basemodel.py:114-116), which skips
+    the N(0, init_std) re-init and keeps torch's ``nn.Embedding`` default
+    N(0, 1).
+    """
+    d = layout.embedding_dim if dim is None else dim
+    if layout.total_rows == 0:
+        return {"bank": jnp.zeros((0, d))}
+    if init_std is None:
+        bank = init.torch_embedding_default(key, (layout.total_rows, d))
+    else:
+        bank = init.normal(key, (layout.total_rows, d), init_std)
+    return {"bank": bank}
+
+
+def lookup_sparse(params, layout: FeatureLayout, sparse_ids):
+    """``[B, S] int32 -> [B, S, dim]`` - the single fused gather."""
+    offsets = jnp.asarray(layout.sparse_field_offsets)
+    return params["bank"][sparse_ids + offsets[None, :]]
+
+
+def lookup_varlen(params, layout: FeatureLayout, varlen_ids):
+    """``[B, V, maxlen] -> [B, V, dim]`` with per-field combiner pooling.
+
+    Pad id is 0 (reference aliccp_dataset_processing.py:226); pooling masks
+    pads, matching deepctr's ``get_varlen_pooling_list`` semantics
+    (reference basemodel.py:479-482).
+    """
+    offsets = jnp.asarray(layout.varlen_field_offsets)
+    emb = params["bank"][varlen_ids + offsets[None, :, None]]  # [B,V,L,dim]
+    mask = (varlen_ids > 0)[..., None]  # [B,V,L,1]
+    pooled = []
+    for i, feat in enumerate(layout.varlen):
+        e, m = emb[:, i], mask[:, i]
+        if feat.combiner == "max":
+            neg = jnp.where(m, e, -jnp.inf)
+            p = jnp.max(neg, axis=1)
+            p = jnp.where(jnp.isfinite(p), p, 0.0)  # all-pad rows -> 0
+        elif feat.combiner == "sum":
+            p = jnp.sum(jnp.where(m, e, 0.0), axis=1)
+        elif feat.combiner == "mean":
+            s = jnp.sum(jnp.where(m, e, 0.0), axis=1)
+            cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+            p = s / cnt
+        else:
+            raise ValueError(f"unknown combiner {feat.combiner!r}")
+        pooled.append(p)
+    return jnp.stack(pooled, axis=1)
+
+
+def embed_fields(params, layout: FeatureLayout, batch):
+    """All field embeddings ``[B, F, dim]`` (sparse then pooled varlen),
+    in the declaration order the reference uses (basemodel.py:475-487)."""
+    parts = []
+    if layout.sparse:
+        parts.append(lookup_sparse(params, layout, batch["sparse"]))
+    if layout.varlen:
+        parts.append(lookup_varlen(params, layout, batch["varlen"]))
+    if not parts:
+        raise ValueError("no sparse features")
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def l2_loss(params, l2: float):
+    """Full-table L2, matching reference basemodel.py:519-535."""
+    if l2 <= 0.0:
+        return 0.0
+    return l2 * jnp.sum(jnp.square(params["bank"]))
+
+
+# ---------------------------------------------------------------------------
+# first-order Linear model (reference basemodel.py:34-92)
+# ---------------------------------------------------------------------------
+
+def linear_model_init(key, layout: FeatureLayout, *, init_std: float = 1e-4):
+    """1-dim embedding bank + dense-feature weight vector."""
+    k1, k2 = jax.random.split(key)
+    p = {"emb": bank_init(k1, layout, dim=1, init_std=init_std)}
+    if layout.dense_dim > 0:
+        p["dense_w"] = init.normal(k2, (layout.dense_dim, 1), init_std)
+    return p
+
+
+def linear_model_apply(p, layout: FeatureLayout, batch):
+    """First-order logit ``[B, 1]``: sum of 1-dim embeddings + dense dot."""
+    logit = jnp.zeros((next(iter(batch.values())).shape[0], 1))
+    emb = embed_fields(p["emb"], layout, batch)  # [B, F, 1]
+    logit = logit + jnp.sum(emb, axis=(1, 2), keepdims=False)[:, None]
+    if "dense_w" in p and "dense" in batch:
+        logit = logit + batch["dense"] @ p["dense_w"]
+    return logit
+
+
+def linear_model_l2(p, l2: float):
+    loss = l2_loss(p["emb"], l2)
+    if "dense_w" in p:
+        loss = loss + l2 * jnp.sum(jnp.square(p["dense_w"]))
+    return loss

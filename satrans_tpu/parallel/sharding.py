@@ -1,0 +1,87 @@
+"""Mesh + sharding layout for multi-chip training.
+
+The reference's only distribution mechanism is an (unused)
+``torch.nn.DataParallel`` branch (basemodel.py:271-274).  The TPU rebuild's
+scalable axes (SURVEY.md section 2.3) are:
+
+* **data parallelism** - the workhorse: batch dim sharded over every chip
+  (``PartitionSpec('data')``); gradient all-reduce is inserted by XLA's SPMD
+  partitioner over ICI (intra-slice) / DCN (cross-host).
+* **embedding-table row sharding** - the one real model-parallel axis: the
+  fused bank (``[total_rows, dim]``, up to ~6.4M rows x 32 for AliCCP) can be
+  row-sharded ``PartitionSpec('data', None)``; lookups become a sharded
+  gather that XLA lowers to collective exchanges.  Adam state shards with the
+  rows for free (optax state mirrors the param tree).
+
+TP/PP/SP are deliberately absent: the attention sequence length is the field
+count (F ~ 19), so there is nothing to slice (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _is_bank_path(path) -> bool:
+    """True for fused embedding-bank leaves ('bank' key anywhere in the path)."""
+    return any(getattr(k, "key", None) == "bank" for k in path)
+
+
+def params_sharding(model, params, mesh: Mesh, *, shard_embeddings: bool = False):
+    """Sharding tree: banks row-sharded (optional), everything else replicated."""
+    def spec_for(path, leaf):
+        if shard_embeddings and _is_bank_path(path) and np.ndim(leaf) == 2 \
+                and leaf.shape[0] >= mesh.devices.size:
+            return NamedSharding(mesh, P("data", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def place(model, params, opt_state, state, mesh: Mesh, *,
+          shard_embeddings: bool = False):
+    """Device-place params/opt_state/state with the layout above."""
+    p_spec = params_sharding(model, params, mesh,
+                             shard_embeddings=shard_embeddings)
+    params = jax.tree.map(jax.device_put, params, p_spec)
+    # optax state mirrors the param tree for Adam moments; shard matching
+    # leaves the same way, scalars replicated.
+    rep = NamedSharding(mesh, P())
+
+    def place_opt(leaf):
+        if hasattr(leaf, "shape") and np.ndim(leaf) == 2 and shard_embeddings \
+                and leaf.shape[0] >= mesh.devices.size:
+            # Heuristic: 2-D opt-state leaves of bank shape follow the bank.
+            bank_shapes = {tuple(l.shape)
+                           for pth, l in jax.tree_util.tree_leaves_with_path(params)
+                           if _is_bank_path(pth)}
+            if tuple(leaf.shape) in bank_shapes:
+                return jax.device_put(leaf, NamedSharding(mesh, P("data", None)))
+        return jax.device_put(leaf, rep)
+
+    opt_state = jax.tree.map(place_opt, opt_state)
+    state = jax.tree.map(lambda l: jax.device_put(l, rep), state)
+    return params, opt_state, state
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_array(arr, mesh: Mesh):
+    """Shard leading axis over 'data'."""
+    ndim = np.ndim(arr)
+    spec = P("data", *([None] * (ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    return {k: shard_array(v, mesh) for k, v in batch.items()}

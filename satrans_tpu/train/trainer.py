@@ -1,0 +1,340 @@
+"""The ONE training engine.
+
+Replaces the reference's three near-copy Keras-style base models
+(basemodel.py:124-628, meta_basemodel.py:124-686, mtl_basemodel.py:99-558)
+with a single ``Trainer`` exposing the same ``compile / fit / evaluate /
+predict`` surface.  Engine differences are strategy objects:
+
+* :class:`SingleTask`   - engines A/B: one BCE-sum head.
+* :class:`DomainRouted` - engine C: per-task loss masked to the task-domain's
+  samples (mtl_basemodel.py:262-271) and predict() selecting each sample's
+  domain head (mtl_basemodel.py:376-378) - both as static-shape masked ops.
+
+TPU-native design points (vs. the reference hot loop, SURVEY.md section 3.1):
+
+* the whole optimizer step (fwd + bwd + Adam + metrics) is ONE jitted,
+  buffer-donated function - no host<->device ping-pong per step;
+* train metrics accumulate on device as scalars (the reference pulls every
+  batch's predictions to CPU and runs sklearn AUC per step - a deliberate
+  throughput sink we do not copy);
+* the final partial batch is zero-weight padded instead of triggering a
+  second compilation: with sum-reduction losses this is bit-identical to the
+  reference's smaller tail batch;
+* with a ``jax.sharding.Mesh``, the step is pjit-sharded: batch over the
+  'data' axis, embedding banks optionally row-sharded, gradient all-reduce
+  inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import callbacks as cb, losses, metrics as metrics_lib
+from ..features import FeatureLayout
+
+
+_ELEMENTWISE = {
+    "binary_crossentropy": losses.bce_elementwise,
+    "mse": lambda p, y: jnp.square(p - y),
+    "mae": lambda p, y: jnp.abs(p - y),
+}
+
+
+class SingleTask:
+    """Loss/predict strategy for one-head models (engines A/B)."""
+
+    def __init__(self, loss="binary_crossentropy"):
+        name = loss[0] if isinstance(loss, (list, tuple)) else loss
+        self.elem = _ELEMENTWISE[name] if isinstance(name, str) else name
+
+    def loss(self, pred, y, batch, weight):
+        # weight is the 0/1 pad mask: sum-reduction over real samples only,
+        # identical to the reference's smaller tail batch (basemodel.py:316).
+        return jnp.sum(weight * self.elem(pred, y))
+
+    def route(self, pred, batch):
+        return pred
+
+
+class DomainRouted:
+    """Engine C: one 'task' per scenario (reference main.py:262-265).
+
+    ``domain_index`` is the scenario column's position in the sparse batch;
+    ``offset`` is learned from the training data (mtl_basemodel.py:160).
+    """
+
+    def __init__(self, domain_index: int, num_tasks: int, offset: int = 0):
+        self.domain_index = domain_index
+        self.num_tasks = num_tasks
+        self.offset = offset
+
+    def _domain_ids(self, batch):
+        return batch["sparse"][:, self.domain_index]
+
+    def loss(self, pred, y, batch, weight):
+        d = self._domain_ids(batch)
+        total = 0.0
+        for i in range(self.num_tasks):
+            mask = (d == (i + self.offset)).astype(pred.dtype) * weight
+            total = total + jnp.sum(mask * losses.bce_elementwise(pred[:, i], y))
+        return total
+
+    def route(self, pred, batch):
+        d = self._domain_ids(batch)
+        out = jnp.zeros(pred.shape[0], pred.dtype)
+        for i in range(self.num_tasks):
+            mask = d == (i + self.offset)
+            out = jnp.where(mask, pred[:, i], out)
+        return out
+
+
+class Trainer:
+    def __init__(self, model, *, mesh=None, shard_embeddings: bool = False,
+                 seed: int = 1024):
+        self.model = model
+        self.layout: FeatureLayout = model.layout
+        self.mesh = mesh
+        self.shard_embeddings = shard_embeddings
+        self.seed = int(seed)
+        self.stop_training = False
+        self.history = cb.History()
+        self.params = None
+        self.state = None
+        self.opt_state = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def compile(self, optimizer="adam", loss="binary_crossentropy",
+                metrics: Sequence[str] = ("binary_crossentropy", "auc"),
+                learning_rate: float = 0.001):
+        """Keras-style compile (reference basemodel.py:540-552).
+
+        ``optimizer``: 'adam'/'sgd'/'adagrad'/'rmsprop' (torch-default
+        hyperparameters, basemodel.py:554-568) or any optax transform.
+        """
+        if isinstance(optimizer, str):
+            opt = {
+                "adam": lambda: optax.adam(learning_rate, b1=0.9, b2=0.999,
+                                           eps=1e-8),
+                "sgd": lambda: optax.sgd(0.01),
+                "adagrad": lambda: optax.adagrad(0.01),
+                "rmsprop": lambda: optax.rmsprop(learning_rate),
+            }[optimizer]()
+        else:
+            opt = optimizer
+        self.optimizer = opt
+        self.loss_spec = loss
+        self.metric_fns = {m: metrics_lib.get_metric(m) for m in metrics}
+        self._strategy = None  # resolved at fit time (needs domain offset)
+        return self
+
+    # ------------------------------------------------------------------
+    def _resolve_strategy(self, x: dict | None):
+        num_tasks = getattr(self.model, "num_tasks", 1)
+        if num_tasks > 1 and getattr(self.model, "domain_col", None):
+            col = self.model.domain_col
+            offset = getattr(self.model, "domain_id_offset", None)
+            if offset is None and x is not None:
+                offset = int(np.min(x[col]))
+            idx = self.layout.sparse_index(col)
+            return DomainRouted(idx, num_tasks, int(offset or 0))
+        return SingleTask(self.loss_spec)
+
+    def _build_steps(self):
+        model = self.model
+        strategy = self._strategy
+
+        def train_step(params, opt_state, state, batch, y, weight, rng):
+            def loss_fn(p):
+                pred, new_state, aux = model.apply(p, state, batch,
+                                                   train=True, rng=rng)
+                data_loss = strategy.loss(pred, y, batch, weight)
+                reg = model.reg_loss(p)
+                total = data_loss + reg + aux
+                return total, (new_state, data_loss, reg, aux)
+
+            grads, (new_state, data_loss, reg, aux) = jax.grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            stats = {"loss": data_loss, "reg_loss": reg, "aux_loss": aux,
+                     "count": jnp.sum(weight)}
+            return params, opt_state, new_state, stats
+
+        def eval_step(params, state, batch):
+            pred, _, _ = model.apply(params, state, batch, train=False)
+            return strategy.route(pred, batch)
+
+        # Sharding is carried by the input arrays themselves (params placed
+        # via parallel.sharding.place, batches via shard_batch); jit then
+        # propagates the shardings and XLA inserts the collectives.
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def _ensure_initialized(self):
+        if self.params is None:
+            key = jax.random.PRNGKey(self.seed)
+            self.params, self.state = self.model.init(key)
+            self.opt_state = self.optimizer.init(self.params)
+            if self.mesh is not None:
+                from ..parallel import sharding as shlib
+                self.params, self.opt_state, self.state = shlib.place(
+                    self.model, self.params, self.opt_state, self.state,
+                    self.mesh, shard_embeddings=self.shard_embeddings)
+
+    def _device_batch(self, batch_np, y=None, weight=None):
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if self.mesh is not None:
+            from ..parallel import sharding as shlib
+            batch = shlib.shard_batch(batch, self.mesh)
+            if y is not None:
+                y = shlib.shard_array(jnp.asarray(y), self.mesh)
+            if weight is not None:
+                weight = shlib.shard_array(jnp.asarray(weight), self.mesh)
+        else:
+            if y is not None:
+                y = jnp.asarray(y)
+            if weight is not None:
+                weight = jnp.asarray(weight)
+        return batch, y, weight
+
+    @staticmethod
+    def _pad(arr, target):
+        n = len(arr)
+        if n == target:
+            return arr
+        pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad)
+
+    # ------------------------------------------------------------------
+    def fit(self, x: dict, y, *, batch_size: int = 256, epochs: int = 1,
+            validation_data=None, valid_cnt_per_epoch: int = 1,
+            shuffle: bool = True, verbose: int = 1, callbacks=None,
+            steps_per_epoch: int | None = None):
+        """Train; mirrors reference fit semantics (meta_basemodel.py:200-385).
+
+        ``x``: {feature name: np column}; ``y``: np labels.
+        """
+        # domain offset learned from train data (meta_basemodel.py:218)
+        offsets = {}
+        for col in getattr(self.model, "domain_cols", []) or \
+                ([self.model.domain_col] if getattr(self.model, "domain_col", None) else []):
+            offsets[col] = int(np.min(x[col]))
+        if offsets and hasattr(self.model, "set_domain_offset"):
+            self.model.set_domain_offset(next(iter(offsets.values())))
+
+        self._strategy = self._resolve_strategy(x)
+        self._ensure_initialized()
+        self._build_steps()
+
+        data = self.layout.batch_from_dict(x)
+        labels = np.asarray(y, dtype=np.float32).reshape(-1)
+        n = len(labels)
+        steps = (n - 1) // batch_size + 1
+        if steps_per_epoch is not None:
+            steps = min(steps, steps_per_epoch)
+        steps_to_valid = steps // max(valid_cnt_per_epoch, 1) + 1
+
+        callback_list = cb.CallbackList((callbacks or []) + [self.history])
+        callback_list.set_trainer(self)
+        self.stop_training = False
+        callback_list.on_train_begin()
+
+        if verbose:
+            n_val = len(validation_data[1]) if validation_data else 0
+            print(f"Train on {n} samples, validate on {n_val} samples, "
+                  f"{steps} steps per epoch")
+
+        rng_np = np.random.default_rng(self.seed)
+        step_rng = jax.random.PRNGKey(self.seed + 1)
+
+        for epoch in range(epochs):
+            callback_list.on_epoch_begin(epoch)
+            t0 = time.time()
+            perm = rng_np.permutation(n) if shuffle else np.arange(n)
+            # On-device epoch accumulators: stays async, one transfer per epoch.
+            acc = None
+            seen = 0
+            for step in range(steps):
+                idx = perm[step * batch_size:(step + 1) * batch_size]
+                bsz = len(idx)
+                batch_np = {k: self._pad(v[idx], batch_size)
+                            for k, v in data.items()}
+                yb = self._pad(labels[idx], batch_size)
+                wb = np.zeros(batch_size, np.float32)
+                wb[:bsz] = 1.0
+                batch, yb, wb = self._device_batch(batch_np, yb, wb)
+                step_rng, sub = jax.random.split(step_rng)
+                self.params, self.opt_state, self.state, stats = \
+                    self._train_step(self.params, self.opt_state, self.state,
+                                     batch, yb, wb, sub)
+                seen += bsz
+                acc = stats if acc is None else jax.tree.map(
+                    jnp.add, acc, stats)
+                if verbose and (step % 50 == 0 or step == steps - 1):
+                    s = jax.device_get(stats)
+                    print(f"\rstep {step + 1}/{steps} "
+                          f"loss {float(s['loss']) / max(bsz, 1):.6f} "
+                          f"reg {float(s['reg_loss']) / max(bsz, 1):.6f}",
+                          end="", flush=True)
+                if (validation_data is not None and valid_cnt_per_epoch > 1
+                        and (step + 1) % steps_to_valid == 0):
+                    r = self.evaluate(*validation_data, batch_size=batch_size * 4)
+                    print(f"\nStep {step + 1}/{steps} " +
+                          " - ".join(f"val_{k}: {v:.4f}" for k, v in r.items()))
+                if self.stop_training:
+                    break
+
+            a = jax.device_get(acc) if acc is not None else {"loss": 0.0,
+                                                             "reg_loss": 0.0,
+                                                             "aux_loss": 0.0}
+            total = float(a["loss"]) + float(a["reg_loss"]) + float(a["aux_loss"])
+            epoch_logs = {"loss": total / max(seen, 1)}
+            if validation_data is not None:
+                val = self.evaluate(*validation_data, batch_size=batch_size * 4)
+                epoch_logs.update({f"val_{k}": v for k, v in val.items()})
+            if verbose:
+                dur = int(time.time() - t0)
+                print(f"\nEpoch {epoch + 1}/{epochs} - {dur}s - " +
+                      " - ".join(f"{k}: {v:.4f}" for k, v in epoch_logs.items()))
+            callback_list.on_epoch_end(epoch, epoch_logs)
+            if self.stop_training:
+                break
+
+        callback_list.on_train_end()
+        return self.history
+
+    # ------------------------------------------------------------------
+    def predict(self, x: dict, batch_size: int = 256) -> np.ndarray:
+        """Inference over a feature dict -> float64 scores [N]
+        (reference predict, meta_basemodel.py:401-517)."""
+        if self._strategy is None:
+            self._strategy = self._resolve_strategy(x)
+        self._ensure_initialized()
+        if self._eval_step is None:
+            self._build_steps()
+        data = self.layout.batch_from_dict(x)
+        n = len(next(iter(data.values())))
+        preds = []
+        for start in range(0, n, batch_size):
+            idx = slice(start, min(start + batch_size, n))
+            bsz = idx.stop - idx.start
+            batch_np = {k: self._pad(v[idx], batch_size) for k, v in data.items()}
+            batch, _, _ = self._device_batch(batch_np)
+            out = self._eval_step(self.params, self.state, batch)
+            preds.append(np.asarray(jax.device_get(out))[:bsz])
+        return np.concatenate(preds).astype("float64")
+
+    def evaluate(self, x: dict, y, batch_size: int = 256) -> dict[str, float]:
+        pred = self.predict(x, batch_size)
+        yy = np.asarray(y).reshape(-1)
+        return {name: fn(yy, pred) for name, fn in self.metric_fns.items()}
