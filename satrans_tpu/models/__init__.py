@@ -1,3 +1,28 @@
+from .mtl import ESMM, MMOE, PLE, SharedBottom
 from .satrans import SATrans
+from .star import StarNet
+from .zoo import (AFM, DCN, NFM, PNN, AdaSparse, AutoInt, DeepFM, FiBiNET,
+                  WDL, XDeepFM)
 
-__all__ = ["SATrans"]
+MODEL_REGISTRY = {
+    "SATrans": SATrans,
+    "Star_Net": StarNet,
+    "WDL": WDL,
+    "DeepFM": DeepFM,
+    "DCN": DCN,
+    "xDeepFM": XDeepFM,
+    "NFM": NFM,
+    "AFM": AFM,
+    "PNN": PNN,
+    "AutoInt": AutoInt,
+    "FiBiNET": FiBiNET,
+    "AdaSparse": AdaSparse,
+    "SharedBottom": SharedBottom,
+    "MMOE": MMOE,
+    "PLE": PLE,
+    "ESMM": ESMM,
+}
+
+__all__ = ["AFM", "AdaSparse", "AutoInt", "DCN", "DeepFM", "ESMM", "FiBiNET",
+           "MMOE", "MODEL_REGISTRY", "NFM", "PLE", "PNN", "SATrans",
+           "SharedBottom", "StarNet", "WDL", "XDeepFM"]

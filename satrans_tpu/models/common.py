@@ -43,14 +43,20 @@ class ZooBase:
     init_std: float = 1e-4
     l2_reg_embedding: float = 1e-5
     l2_reg_linear: float = 1e-5
-    meta_dnn_hidden_units: Sequence[int] = (32, 64, 32)
+    # None derives [d, 2d, d] - equal to the reference's hard-coded
+    # (32, 64, 32) at embedding_dim=32 (basemodel.py:128) but dim-safe.
+    meta_dnn_hidden_units: Sequence[int] | None = None
     num_tasks: int = 1
 
     def _post(self):
         self.embedding_dim = self.layout.embedding_dim
         self.use_meta = bool(self.domain_col) and (
             "metatrans" in self.flag or "usemetatrans" in self.flag)
-        self.meta_units = [int(u) for u in self.meta_dnn_hidden_units]
+        if self.meta_dnn_hidden_units is None:
+            d = self.embedding_dim
+            self.meta_units = [d, 2 * d, d]
+        else:
+            self.meta_units = [int(u) for u in self.meta_dnn_hidden_units]
         self.meta_param_size = metanet.param_size(self.meta_units)
 
     # -- init helpers ---------------------------------------------------
