@@ -1,0 +1,104 @@
+"""End-of-round benchmark: SATrans training throughput on one TPU chip.
+
+Measures the full optimizer step (fwd + bwd + Adam + full-table L2) of the
+flagship SATrans at the AliCCP sota config (19 sparse fields with the real
+AliCCP vocab sizes from reference main.py:124-128, embedding_dim=32, 3 meta
+transformer layers, 4 heads, meta_mode=QK, batch 8192) - the configuration
+BASELINE.md pins as the headline workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against REFERENCE_EXAMPLES_PER_SEC, an estimate of
+the reference PyTorch implementation on its published GTX 1080 Ti setup
+(readme.md:28-33).  The reference repo publishes no throughput numbers
+(BASELINE.md), so this anchor is an estimate of its compute path (excluding
+its deliberate per-batch sklearn-AUC host sink): ~60k examples/s.
+The north-star target is >=3x this per chip (BASELINE.json).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_EXAMPLES_PER_SEC = 60_000.0
+
+# AliCCP vocab sizes (reference main.py:124-128), +2 like main.py:182.
+ALICCP_DATA_MAX = {
+    "101": 444861, "121": 97, "122": 13, "124": 2, "125": 7, "126": 3,
+    "127": 3, "128": 2, "129": 4, "205": 4348615, "206": 8993,
+    "207": 695124, "210": 99606, "216": 234880, "508": 8185, "509": 472354,
+    "702": 167813, "853": 91358, "301": 3,
+}
+
+BATCH = 8192
+SCAN = 10          # optimizer steps fused into one XLA program (lax.scan)
+CHUNKS = 4         # timed scan-program executions; total steps = SCAN*CHUNKS
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from satrans_tpu.features import FeatureLayout, SparseFeature
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import Trainer
+
+    cols = [SparseFeature(name, vocab + 2, 32)
+            for name, vocab in ALICCP_DATA_MAX.items()]
+    layout = FeatureLayout(cols)
+    log(f"fused bank rows: {layout.total_rows:,} (x32 fp32 = "
+        f"{layout.total_rows * 32 * 4 / 1e9:.2f} GB)")
+
+    model = SATrans(layout=layout, domain_cols=["301"], num_domains_list=[3],
+                    domain_att_layer_num=3, att_head_num=4, meta_mode="QK",
+                    meta_dnn_hidden_units=(64, 32))
+    trainer = Trainer(model, seed=1021)
+    trainer.compile(learning_rate=0.005)
+    trainer._strategy = trainer._resolve_strategy(None)
+    trainer._ensure_initialized()
+    trainer._build_steps()
+
+    rng = np.random.default_rng(0)
+    sparse = np.stack(
+        [rng.integers(1, v + 1, size=(SCAN, BATCH))
+         for v in ALICCP_DATA_MAX.values()], axis=2).astype(np.int32)
+    batch = {"sparse": jax.device_put(sparse)}           # [SCAN, B, F]
+    y = jax.device_put(rng.integers(0, 2, (SCAN, BATCH)).astype(np.float32))
+    w = jax.device_put(np.ones((SCAN, BATCH), np.float32))
+    rngs = jax.random.split(jax.random.PRNGKey(0), SCAN)
+
+    # compile + warmup.  NOTE: block_until_ready does not synchronize on the
+    # remote (axon) backend; a scalar device->host transfer is the fence.
+    t0 = time.time()
+    p, o, s = trainer.params, trainer.opt_state, trainer.state
+    p, o, s, stats = trainer._train_scan(p, o, s, batch, y, w, rngs)
+    float(stats["loss"])
+    log(f"compile+first chunk ({SCAN} steps): {time.time() - t0:.1f}s")
+    p, o, s, stats = trainer._train_scan(p, o, s, batch, y, w, rngs)
+    float(stats["loss"])
+
+    t0 = time.time()
+    for _ in range(CHUNKS):
+        p, o, s, stats = trainer._train_scan(p, o, s, batch, y, w, rngs)
+    float(stats["loss"])  # fences the dependent chain of all chunks
+    dt = time.time() - t0
+    steps = SCAN * CHUNKS
+    examples_per_sec = BATCH * steps / dt
+    log(f"{steps} steps in {dt:.3f}s -> {examples_per_sec:,.0f} examples/s "
+        f"({dt / steps * 1e3:.2f} ms/step)")
+
+    print(json.dumps({
+        "metric": "satrans_train_throughput",
+        "value": round(examples_per_sec, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,264 @@
+"""Experiment driver with the reference CLI surface.
+
+Mirrors reference main.py: same argparse flags (main.py:39-61), model
+dispatch (main.py:211-308), fit/predict protocol (main.py:338-353), overall +
+per-domain AUC report (main.py:356-374) and results-CSV row format
+(main.py:381-395) - so reference and rebuild runs are diffable.
+
+Additions: ``--data_name synthetic`` for dataset-free smoke runs,
+``--data_path`` to point at the h5 files, ``--scan_steps`` for the fused
+multi-step trainer path, and ``--dump``/checkpointing via orbax instead of
+``torch.save``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from argparse import ArgumentParser
+from datetime import datetime
+
+import numpy as np
+
+
+def boolean_string(s):
+    if s not in {"False", "True"}:
+        raise ValueError("Not a valid boolean string")
+    return s == "True"
+
+
+def parse_args(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument("--data_name", type=str, default="alicpp")
+    parser.add_argument("--data_path", type=str, default="./data")
+    parser.add_argument("--model_name", type=str, default="SATrans")
+    parser.add_argument("--seed", type=int, default=1024)
+    parser.add_argument("--merge", type=str, default="no")
+    parser.add_argument("--num_query_bases", type=int, default=3)
+    parser.add_argument("--share_domain_dnn_across_layers",
+                        type=boolean_string, default=False)
+    parser.add_argument("--domain_col", type=str, default="None")
+    parser.add_argument("--embedding_dim", type=int, default=32)
+    parser.add_argument("--att_layer_num", type=int, default=0)
+    parser.add_argument("--domain_att_layer_num", type=int, default=3)
+    parser.add_argument("--att_layer_type", type=str, default="deepctr")
+    parser.add_argument("--att_head_num", type=int, default=4)
+    parser.add_argument("--flag", type=str, default="None")
+    parser.add_argument("--filter_feats", type=boolean_string, default=False)
+    parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--prompt", type=boolean_string, default=True)
+    parser.add_argument("--finetune", type=boolean_string, default=False)
+    parser.add_argument("--attn_batch_reg", type=float, default=0.1)
+    parser.add_argument("--meta_mode", type=str, default="Query")
+    # rebuild-specific
+    parser.add_argument("--epochs", type=int, default=1)
+    parser.add_argument("--scan_steps", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--synthetic_rows", type=int, default=100_000)
+    parser.add_argument("--results_dir", type=str, default=".")
+    parser.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    return parser.parse_args(argv)
+
+
+def load_dataset(args, flag: str, domain_col: str):
+    """Returns (train, test, labels_name, sparse, dense, varlen, data_max,
+    topk)."""
+    from ..data import aliccp, alimama, synthetic
+
+    if args.data_name == "alicpp":
+        labels = "click"
+        sparse = list(aliccp.SPARSE_FEATURES)
+        var_features: list[str] = []
+        dense: list[str] = []
+        topk = 3
+        h5 = os.path.join(args.data_path, "alicpp.h5")
+        cols = [labels] + sparse + var_features
+        train = aliccp.load_split(h5, "ctr_train", cols, k=topk)
+        print("load train finish")
+        test = aliccp.load_split(h5, "ctr_test", cols, k=topk)
+        print("load test finish")
+        # domain id starts from 1 (main.py:112-114)
+        if train["301"].min() == 0:
+            train["301"] = train["301"] + 1
+            test["301"] = test["301"] + 1
+        data_max = dict(aliccp.DATA_MAX)
+        return train, test, labels, sparse, dense, var_features, data_max, topk
+
+    if args.data_name == "alimama":
+        labels = "clk"
+        sparse = list(alimama.SPARSE_FEATURES)
+        data = alimama.load(os.path.join(args.data_path, "alimama.h5"))
+        if "sparseprice" in flag:
+            print("transform price")
+            sparse = sparse + ["price"]
+            dense = []
+            # label-encode price (main.py:148-153)
+            vals, inv = np.unique(data["price"], return_inverse=True)
+            data["price"] = inv.astype(np.int64)
+        else:
+            dense = ["price"]
+            p = data["price"].astype(np.float64)
+            lo, hi = p.min(), p.max()
+            data["price"] = ((p - lo) / (hi - lo if hi > lo else 1.0)
+                             ).astype(np.float32)
+        train, test = alimama.split_by_time(data)
+        data_max = {k: int(v.max()) for k, v in data.items()}
+        return train, test, labels, sparse, dense, [], data_max, 3
+
+    if args.data_name == "synthetic":
+        labels = "click"
+        num_sparse = 8
+        sparse = [f"f{i}" for i in range(num_sparse)] + ["domain"]
+        x, y = synthetic.synthetic_data(
+            n=args.synthetic_rows, num_sparse=num_sparse, vocab=1000,
+            num_domains=3, seed=args.seed)
+        x[labels] = y
+        n_train = int(0.8 * len(y))
+        train = {k: v[:n_train] for k, v in x.items()}
+        test = {k: v[n_train:] for k, v in x.items()}
+        data_max = {k: int(x[k].max()) for k in sparse}
+        return train, test, labels, sparse, [], [], data_max, 3
+
+    raise NotImplementedError(f"unknown data_name {args.data_name}")
+
+
+def build_model(args, layout, domain_col_list, num_domains_list, flag):
+    from ..models import MODEL_REGISTRY
+
+    name = args.model_name
+    num_domains = num_domains_list[0]
+    if name not in MODEL_REGISTRY:
+        raise ValueError("no such model")
+    cls = MODEL_REGISTRY[name]
+
+    if name == "SATrans":
+        meta_mode = args.meta_mode
+        return cls(layout=layout, domain_cols=domain_col_list,
+                   num_domains_list=num_domains_list,
+                   domain_att_layer_num=args.domain_att_layer_num,
+                   att_head_num=args.att_head_num, meta_mode=meta_mode,
+                   meta_dnn_hidden_units=(2 * args.embedding_dim,
+                                          args.embedding_dim),
+                   use_pos="pos" in flag,
+                   variant=("gate" if "gate" in flag else
+                            "bilinear" if "bilinear" in flag else "metanet"),
+                   only_emb="onlyemb" in flag, relu_out="relu" in flag,
+                   no_emb_init="noembinit" in flag, seed=args.seed)
+    if name == "Star_Net":
+        return cls(layout=layout, domain_col=domain_col_list[0],
+                   num_domains=num_domains, domain_id_as_feature=True,
+                   dnn_hidden_units=(256, 128), use_domain_dnn=True,
+                   use_domain_bn=True, flag=flag, seed=args.seed)
+    if name in ("SharedBottom", "MMOE", "PLE", "ESMM"):
+        return cls(layout=layout, num_tasks=num_domains,
+                   domain_col=domain_col_list[0], flag=flag, seed=args.seed)
+    if name == "AutoInt":
+        return cls(layout=layout, att_layer_num=args.att_layer_num or 3,
+                   att_head_num=args.att_head_num, flag=flag,
+                   domain_col=domain_col_list[0], num_domains=num_domains,
+                   seed=args.seed)
+    # generic baselines
+    return cls(layout=layout, flag=flag, domain_col=domain_col_list[0],
+               num_domains=num_domains, seed=args.seed)
+
+
+def main(argv=None):
+    from ..features import (DenseFeature, FeatureLayout, SparseFeature,
+                            VarLenSparseFeature)
+    from ..train import Trainer, metrics
+
+    args = parse_args(argv)
+    model_name = args.model_name
+    flag = args.flag
+    batch_size = args.batch_size or (4096 if model_name == "xDeepFM"
+                                     else 4096 * 2)
+    test_batch_size = batch_size * 4
+    print(args)
+
+    default_domain_col = {"alicpp": "301", "alimama": "pid",
+                          "synthetic": "domain"}
+    domain_col = args.domain_col
+    if domain_col == "None":
+        domain_col = default_domain_col[args.data_name.split("_")[0]]
+    domain_col_list = domain_col.split("-")
+
+    train, test, target, sparse, dense, var_features, data_max, topk = \
+        load_dataset(args, flag, domain_col)
+
+    num_domains_list = [
+        max(len(np.unique(train[c])), data_max[c]) for c in domain_col_list]
+
+    columns = (
+        [SparseFeature(f, int(data_max[f]) + 2, args.embedding_dim)
+         for f in sparse]
+        + [DenseFeature(f, 1) for f in dense]
+        + [VarLenSparseFeature(f, int(data_max[f]) + 2, args.embedding_dim,
+                               maxlen=topk, combiner="max")
+           for f in var_features])
+    layout = FeatureLayout(columns)
+
+    model = build_model(args, layout, domain_col_list, num_domains_list, flag)
+
+    print(f"=============={args.data_name}===================================")
+    print(f"model name: {model_name}..{flag}..{args.seed}...{domain_col}...")
+
+    feature_names = sparse + dense + var_features
+    train_x = {n: train[n] for n in feature_names}
+    test_x = {n: test[n] for n in feature_names}
+
+    trainer = Trainer(model, seed=args.seed)
+    if model_name in ("SharedBottom", "MMOE", "PLE", "ESMM"):
+        trainer.compile(learning_rate=args.learning_rate,
+                        loss=["binary_crossentropy"] * num_domains_list[0],
+                        metrics=["binary_crossentropy", "auc"])
+    else:
+        trainer.compile(learning_rate=args.learning_rate,
+                        loss="binary_crossentropy",
+                        metrics=["binary_crossentropy", "auc"])
+
+    trainer.fit(train_x, train[target], batch_size=batch_size,
+                epochs=args.epochs, verbose=1, scan_steps=args.scan_steps)
+
+    pred = trainer.predict(test_x, test_batch_size)
+
+    test_auc = round(metrics.auc(test[target], pred), 4)
+    test_loss = metrics.log_loss(test[target], pred)
+    test_auc_list = [str(test_auc)]
+    print("test AUC", test_auc)
+
+    for i, domain_auc in metrics.per_domain_auc(
+            test[target], pred, test_x[domain_col]).items():
+        print(f"Domain {i} test AUC", round(domain_auc, 4))
+        test_auc_list.append(str(round(domain_auc, 4)))
+
+    dt = datetime.now().strftime("%m-%d-%H-%M")
+    print(dt)
+    os.makedirs(args.results_dir, exist_ok=True)
+    file_name = os.path.join(args.results_dir,
+                             f"{args.data_name}_results.csv")
+    if "SATrans" in model_name:
+        config = (f"{model_name}_{args.embedding_dim}_{args.learning_rate}_"
+                  f"{args.domain_att_layer_num}_{args.att_head_num}_"
+                  f"{args.meta_mode}_{args.seed}_{domain_col}_{flag}")
+    elif "AutoInt" in model_name:
+        config = (f"{model_name}_{args.embedding_dim}_{args.learning_rate}_"
+                  f"{args.att_layer_num}_{args.att_head_num}_"
+                  f"{args.att_layer_type}_{args.seed}_{domain_col}_{flag}")
+    else:
+        config = (f"{model_name}_{args.embedding_dim}_{args.learning_rate}_"
+                  f"{args.seed}_{domain_col}_{flag}")
+    with open(file_name, "a") as f:
+        f.write(f"{dt}-{config}," + ",".join(test_auc_list)
+                + f",{test_loss:.6f}\n")
+
+    if "dump" in flag:
+        from ..train import checkpoint
+        path = os.path.join(args.checkpoint_dir, config)
+        checkpoint.save(path, trainer)
+        print(f"checkpoint saved to {path}")
+
+    return test_auc
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,3 @@
-from . import synthetic
+from . import aliccp, alimama, io, loader, synthetic
 
-__all__ = ["synthetic"]
+__all__ = ["aliccp", "alimama", "io", "loader", "synthetic"]

@@ -61,6 +61,7 @@ class SATrans:
     init_std: float = 1e-4
     task: str = "binary"
     dropout_rate: float = 0.1
+    seed: int = 1024
     # flag-derived options
     use_pos: bool = False          # 'pos'
     variant: str = "metanet"       # 'gate' / 'bilinear' -> those flags
@@ -75,6 +76,10 @@ class SATrans:
         self.embedding_dim = d
         # meta_units = [d] + hidden (reference satrans.py:146-149)
         self.meta_units = [d] + [int(u) for u in self.meta_dnn_hidden_units]
+        if self.variant == "metanet" and self.meta_units[-1] != d:
+            raise ValueError(
+                f"meta_dnn_hidden_units must end with embedding_dim={d} for "
+                f"the MetaNet residual, got {self.meta_dnn_hidden_units}")
         if self.variant == "bilinear":
             self.meta_param_size = (d * d) // self.att_head_num
         elif self.variant == "gate":

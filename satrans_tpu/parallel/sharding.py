@@ -35,6 +35,28 @@ def _is_bank_path(path) -> bool:
     return any(getattr(k, "key", None) == "bank" for k in path)
 
 
+def pad_banks(params, multiple: int):
+    """Zero-pad every fused-bank leaf to a row multiple of the mesh size.
+
+    Padded rows are never gathered (indices stay < total_rows) and contribute
+    exactly zero to the full-table L2 (zero stays zero under l2-only
+    gradients), so semantics are unchanged.
+    """
+    import jax.numpy as jnp
+
+    def pad(path, leaf):
+        if _is_bank_path(path) and np.ndim(leaf) == 2:
+            rows = leaf.shape[0]
+            target = -(-rows // multiple) * multiple
+            if target != rows:
+                return jnp.concatenate(
+                    [leaf, jnp.zeros((target - rows, leaf.shape[1]),
+                                     leaf.dtype)], axis=0)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(pad, params)
+
+
 def params_sharding(model, params, mesh: Mesh, *, shard_embeddings: bool = False):
     """Sharding tree: banks row-sharded (optional), everything else replicated."""
     def spec_for(path, leaf):

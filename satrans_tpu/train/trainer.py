@@ -173,10 +173,29 @@ class Trainer:
             pred, _, _ = model.apply(params, state, batch, train=False)
             return strategy.route(pred, batch)
 
+        def train_scan(params, opt_state, state, batches, ys, ws, rngs):
+            """K fused optimizer steps in ONE XLA program via lax.scan.
+
+            Removes per-step dispatch latency entirely - the natural TPU
+            execution shape for a fixed-size hot loop (SURVEY.md 3.1's hot
+            loop becomes one device program per K steps).
+            """
+            def body(carry, inp):
+                p, o, s = carry
+                b, y, w, r = inp
+                p, o, s, stats = train_step(p, o, s, b, y, w, r)
+                return (p, o, s), stats
+
+            (params, opt_state, state), stats = jax.lax.scan(
+                body, (params, opt_state, state), (batches, ys, ws, rngs))
+            totals = jax.tree.map(jnp.sum, stats)
+            return params, opt_state, state, totals
+
         # Sharding is carried by the input arrays themselves (params placed
         # via parallel.sharding.place, batches via shard_batch); jit then
         # propagates the shardings and XLA inserts the collectives.
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._train_scan = jax.jit(train_scan, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
@@ -184,6 +203,10 @@ class Trainer:
         if self.params is None:
             key = jax.random.PRNGKey(self.seed)
             self.params, self.state = self.model.init(key)
+            if self.mesh is not None and self.shard_embeddings:
+                from ..parallel import sharding as shlib
+                self.params = shlib.pad_banks(self.params,
+                                              self.mesh.devices.size)
             self.opt_state = self.optimizer.init(self.params)
             if self.mesh is not None:
                 from ..parallel import sharding as shlib
@@ -219,7 +242,7 @@ class Trainer:
     def fit(self, x: dict, y, *, batch_size: int = 256, epochs: int = 1,
             validation_data=None, valid_cnt_per_epoch: int = 1,
             shuffle: bool = True, verbose: int = 1, callbacks=None,
-            steps_per_epoch: int | None = None):
+            steps_per_epoch: int | None = None, scan_steps: int = 1):
         """Train; mirrors reference fit semantics (meta_basemodel.py:200-385).
 
         ``x``: {feature name: np column}; ``y``: np labels.
@@ -264,32 +287,53 @@ class Trainer:
             # On-device epoch accumulators: stays async, one transfer per epoch.
             acc = None
             seen = 0
-            for step in range(steps):
-                idx = perm[step * batch_size:(step + 1) * batch_size]
-                bsz = len(idx)
-                batch_np = {k: self._pad(v[idx], batch_size)
-                            for k, v in data.items()}
-                yb = self._pad(labels[idx], batch_size)
-                wb = np.zeros(batch_size, np.float32)
-                wb[:bsz] = 1.0
-                batch, yb, wb = self._device_batch(batch_np, yb, wb)
-                step_rng, sub = jax.random.split(step_rng)
-                self.params, self.opt_state, self.state, stats = \
-                    self._train_step(self.params, self.opt_state, self.state,
-                                     batch, yb, wb, sub)
-                seen += bsz
+            step = 0
+            while step < steps:
+                # Fused multi-step path: K full batches in one XLA program.
+                k = min(scan_steps, steps - step)
+                if k > 1 and (step + k) * batch_size <= n:
+                    idx = perm[step * batch_size:(step + k) * batch_size]
+                    batch_np = {kk: v[idx].reshape(k, batch_size, *v.shape[1:])
+                                for kk, v in data.items()}
+                    yb = labels[idx].reshape(k, batch_size)
+                    wb = np.ones((k, batch_size), np.float32)
+                    batch, yb, wb = self._device_batch(batch_np, yb, wb)
+                    step_rng, sub = jax.random.split(step_rng)
+                    subs = jax.random.split(sub, k)
+                    self.params, self.opt_state, self.state, stats = \
+                        self._train_scan(self.params, self.opt_state,
+                                         self.state, batch, yb, wb, subs)
+                    seen += k * batch_size
+                    bsz = batch_size
+                    step += k
+                else:
+                    idx = perm[step * batch_size:(step + 1) * batch_size]
+                    bsz = len(idx)
+                    batch_np = {kk: self._pad(v[idx], batch_size)
+                                for kk, v in data.items()}
+                    yb = self._pad(labels[idx], batch_size)
+                    wb = np.zeros(batch_size, np.float32)
+                    wb[:bsz] = 1.0
+                    batch, yb, wb = self._device_batch(batch_np, yb, wb)
+                    step_rng, sub = jax.random.split(step_rng)
+                    self.params, self.opt_state, self.state, stats = \
+                        self._train_step(self.params, self.opt_state,
+                                         self.state, batch, yb, wb, sub)
+                    seen += bsz
+                    step += 1
                 acc = stats if acc is None else jax.tree.map(
                     jnp.add, acc, stats)
-                if verbose and (step % 50 == 0 or step == steps - 1):
+                if verbose and (step % 50 < scan_steps or step >= steps):
                     s = jax.device_get(stats)
-                    print(f"\rstep {step + 1}/{steps} "
-                          f"loss {float(s['loss']) / max(bsz, 1):.6f} "
-                          f"reg {float(s['reg_loss']) / max(bsz, 1):.6f}",
+                    denom = max(float(s["count"]), 1.0)
+                    print(f"\rstep {step}/{steps} "
+                          f"loss {float(s['loss']) / denom:.6f} "
+                          f"reg {float(s['reg_loss']) / denom:.6f}",
                           end="", flush=True)
                 if (validation_data is not None and valid_cnt_per_epoch > 1
-                        and (step + 1) % steps_to_valid == 0):
+                        and step % steps_to_valid < scan_steps):
                     r = self.evaluate(*validation_data, batch_size=batch_size * 4)
-                    print(f"\nStep {step + 1}/{steps} " +
+                    print(f"\nStep {step}/{steps} " +
                           " - ".join(f"val_{k}: {v:.4f}" for k, v in r.items()))
                 if self.stop_training:
                     break
