@@ -1,12 +1,17 @@
 from .mtl import ESMM, MMOE, PLE, SharedBottom
 from .satrans import SATrans
 from .star import StarNet
+from .star_trans_legacy import StarTrans, Starv2Trans, Starv3Trans, Starv4Trans
 from .zoo import (AFM, DCN, NFM, PNN, AdaSparse, AutoInt, DeepFM, FiBiNET,
                   WDL, XDeepFM)
 
 MODEL_REGISTRY = {
     "SATrans": SATrans,
     "Star_Net": StarNet,
+    "Star_Trans": StarTrans,
+    "Starv2_Trans": Starv2Trans,
+    "Starv3_Trans": Starv3Trans,
+    "Starv4_Trans": Starv4Trans,
     "WDL": WDL,
     "DeepFM": DeepFM,
     "DCN": DCN,
@@ -25,4 +30,5 @@ MODEL_REGISTRY = {
 
 __all__ = ["AFM", "AdaSparse", "AutoInt", "DCN", "DeepFM", "ESMM", "FiBiNET",
            "MMOE", "MODEL_REGISTRY", "NFM", "PLE", "PNN", "SATrans",
-           "SharedBottom", "StarNet", "WDL", "XDeepFM"]
+           "SharedBottom", "StarNet", "StarTrans", "Starv2Trans",
+           "Starv3Trans", "Starv4Trans", "WDL", "XDeepFM"]

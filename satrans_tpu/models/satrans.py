@@ -68,8 +68,11 @@ class SATrans:
     only_emb: bool = False         # 'onlyemb'
     relu_out: bool = False         # 'relu'
     no_emb_init: bool = False      # 'noembinit'
-    # TPU fast path: per-domain meta params when a single scenario column
-    dense_select: bool = False
+    # TPU fast path: with a single scenario column, run one dense GEMM per
+    # domain and one-hot select instead of per-example batched matmuls -
+    # measured ~17% faster per train step on v5e (see bench.py). Equality
+    # with the gather path is covered by tests.
+    dense_select: bool = True
 
     def __post_init__(self):
         d = self.layout.embedding_dim
