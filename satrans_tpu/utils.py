@@ -1,0 +1,75 @@
+"""Utility parity with reference utils.py.
+
+Covers the reference's grab-bag (utils.py): composite-domain id mapping,
+seed control, BPR loss and bipartite negative sampling (unused by main.py but
+part of the public surface, utils.py:144-235), activation factory
+(nn/core.py), and memory info.  IO helpers live in :mod:`data.io`.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def get_domain_feat(data: dict, domain_col: str, dids_map: dict | None = None):
+    """Composite scenario ids: 'colA|colB' -> dense ids over observed tuples
+    (reference utils.py:32-47)."""
+    if domain_col in data:
+        return [domain_col], dids_map
+    cols = domain_col.split("|")
+    stacked = np.stack([np.asarray(data[c]).reshape(-1) for c in cols], axis=1)
+    tuples = [tuple(row) for row in stacked]
+    if dids_map is None:
+        uniq = sorted(set(tuples))
+        dids_map = {t: i for i, t in enumerate(uniq)}
+    data[domain_col] = np.asarray([dids_map[t] for t in tuples])
+    return cols, dids_map
+
+
+def set_random_seeds(seed: int = 0):
+    """Host-side seeding (reference utils.py:118-124); JAX keys are explicit
+    so only numpy/python need this."""
+    np.random.seed(seed)
+    random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def bpr_loss(positives, negatives, regularization=None,
+             lambda_reg: float = 0.0):
+    """Bayesian Personalized Ranking loss (reference utils.py:144-183)."""
+    n_pairs = positives.shape[0]
+    log_prob = jnp.mean(jax.nn.log_sigmoid(positives - negatives))
+    reg = lambda_reg * regularization if lambda_reg != 0 and \
+        regularization is not None else 0.0
+    return -log_prob + reg / n_pairs
+
+
+def structured_negative_sampling_bipartite(key, edge_index, num_nodes: int,
+                                           num_users: int):
+    """For each (user, item) edge sample a negative item not in the edge set
+    (reference utils.py:194-235). Host-side numpy (data prep, not jitted)."""
+    row, col = np.asarray(edge_index[0]), np.asarray(edge_index[1])
+    pos = set(row * num_nodes + col)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    neg = rng.integers(num_users, num_nodes, size=len(row))
+    bad = np.asarray([r * num_nodes + n in pos for r, n in zip(row, neg)])
+    while bad.any():
+        neg[bad] = rng.integers(num_users, num_nodes, size=int(bad.sum()))
+        bad = np.asarray([r * num_nodes + n in pos
+                          for r, n in zip(row, neg)])
+    return row, col, neg
+
+
+def get_memory_info():
+    try:
+        import psutil
+        info = psutil.virtual_memory()
+        return {"total_gb": info.total / 2**30, "used_gb": info.used / 2**30,
+                "percent": info.percent}
+    except ImportError:
+        return {}
