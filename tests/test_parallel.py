@@ -1,0 +1,103 @@
+"""Sharding / multi-device tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+from satrans_tpu.features import FeatureLayout
+from satrans_tpu.models import SATrans, DeepFM
+from satrans_tpu.parallel import make_mesh, sharding
+from satrans_tpu.parallel.embedding_sharded import sharded_lookup
+from satrans_tpu.train import Trainer, metrics
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_lookup_matches_replicated(rng):
+    mesh = make_mesh()
+    R, d, B = 64, 8, 32  # R divisible by 8
+    bank = rng.normal(size=(R, d)).astype(np.float32)
+    ids = rng.integers(0, R, size=B).astype(np.int32)
+    bank_sh = jax.device_put(jnp.asarray(bank),
+                             NamedSharding(mesh, P("data", None)))
+    ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))
+    got = np.asarray(sharded_lookup(bank_sh, ids_sh, mesh))
+    np.testing.assert_allclose(got, bank[ids], rtol=1e-6)
+
+
+def test_pad_banks():
+    params = {"emb": {"bank": jnp.ones((13, 4))}, "w": jnp.ones((3,))}
+    padded = sharding.pad_banks(params, 8)
+    assert padded["emb"]["bank"].shape == (16, 4)
+    assert float(padded["emb"]["bank"][13:].sum()) == 0.0
+    assert padded["w"].shape == (3,)
+
+
+def test_dp_training_matches_single_device():
+    """Data-parallel sharded training must equal unsharded training."""
+    cols = synthetic_columns(num_sparse=4, vocab=32, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=4, vocab=32)
+
+    def run(mesh, shard_emb):
+        model = DeepFM(layout=layout)
+        tr = Trainer(model, mesh=mesh, shard_embeddings=shard_emb, seed=0)
+        tr.compile(learning_rate=0.01)
+        tr.fit(x, y, batch_size=128, epochs=2, verbose=0, shuffle=True)
+        return tr.predict(x, batch_size=128)
+
+    base = run(None, False)
+    dp = run(make_mesh(), False)
+    dp_sharded = run(make_mesh(), True)
+    np.testing.assert_allclose(base, dp, atol=2e-5)
+    np.testing.assert_allclose(base, dp_sharded, atol=2e-5)
+
+
+def test_satrans_sharded_training_runs_and_learns():
+    cols = synthetic_columns(num_sparse=5, vocab=64, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=2048, num_sparse=5, vocab=64, seed=3)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=2,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8))
+    tr = Trainer(model, mesh=make_mesh(), shard_embeddings=True, seed=0)
+    tr.compile(learning_rate=0.01)
+    tr.fit(x, y, batch_size=256, epochs=6, verbose=0)
+    auc = metrics.auc(y, tr.predict(x, batch_size=256))
+    assert auc > 0.6, auc
+    # bank is actually sharded across all 8 devices
+    devs = {s.device for s in tr.params["emb"]["bank"].addressable_shards}
+    assert len(devs) == 8
+
+
+def test_distributed_auc_matches_host():
+    from satrans_tpu.parallel.distributed import distributed_auc
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 2, 4096).astype(np.float32)
+    s = rng.random(4096).astype(np.float32)
+    mesh = make_mesh()
+    ys = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P("data")))
+    ss = jax.device_put(jnp.asarray(s), NamedSharding(mesh, P("data")))
+    got = float(distributed_auc(ys, ss))
+    np.testing.assert_allclose(got, metrics.auc(y, s), atol=1e-4)
+
+
+def test_scan_steps_equivalent_to_loop():
+    """scan_steps must give the same parameters as per-step training."""
+    cols = synthetic_columns(num_sparse=4, vocab=32, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=4, vocab=32)
+
+    def run(scan):
+        tr = Trainer(DeepFM(layout=layout), seed=0)
+        tr.compile(learning_rate=0.01)
+        tr.fit(x, y, batch_size=128, epochs=1, verbose=0, scan_steps=scan)
+        return tr.predict(x, batch_size=128)
+
+    np.testing.assert_allclose(run(1), run(4), atol=2e-6)
