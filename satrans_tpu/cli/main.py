@@ -60,6 +60,26 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def config_str(args, domain_col: str, flag: str) -> str:
+    """Run-config key, matching the reference's CSV/checkpoint naming
+    (main.py:200-205, 383-393)."""
+    m = args.model_name
+    if "Star_Trans" in m:
+        return (f"{m}_{args.embedding_dim}_{args.learning_rate}_"
+                f"{args.domain_att_layer_num}_{args.att_head_num}_"
+                f"{args.merge}_{args.seed}_{domain_col}_{flag}")
+    if "SATrans" in m:
+        return (f"{m}_{args.embedding_dim}_{args.learning_rate}_"
+                f"{args.domain_att_layer_num}_{args.att_head_num}_"
+                f"{args.meta_mode}_{args.seed}_{domain_col}_{flag}")
+    if "AutoInt" in m:
+        return (f"{m}_{args.embedding_dim}_{args.learning_rate}_"
+                f"{args.att_layer_num}_{args.att_head_num}_"
+                f"{args.att_layer_type}_{args.seed}_{domain_col}_{flag}")
+    return (f"{m}_{args.embedding_dim}_{args.learning_rate}_"
+            f"{args.seed}_{domain_col}_{flag}")
+
+
 def load_dataset(args, flag: str, domain_col: str):
     """Returns (train, test, labels_name, sparse, dense, varlen, data_max,
     topk)."""
@@ -144,6 +164,24 @@ def build_model(args, layout, domain_col_list, num_domains_list, flag):
                             "bilinear" if "bilinear" in flag else "metanet"),
                    only_emb="onlyemb" in flag, relu_out="relu" in flag,
                    no_emb_init="noembinit" in flag, seed=args.seed)
+    if name in ("Star_Trans", "Starv2_Trans", "Starv3_Trans", "Starv4_Trans"):
+        kwargs = dict(layout=layout, domain_col=domain_col_list[0],
+                      num_domains=num_domains,
+                      att_layer_num=args.att_layer_num,
+                      domain_att_layer_num=args.domain_att_layer_num,
+                      att_head_num=args.att_head_num,
+                      att_layer_type=args.att_layer_type,
+                      flag=flag, seed=args.seed)
+        if name == "Star_Trans":
+            kwargs["merge"] = args.merge
+        if name == "Starv2_Trans":
+            kwargs.update(num_query_bases=args.num_query_bases,
+                          share_domain_dnn_across_layers=
+                          args.share_domain_dnn_across_layers,
+                          attn_batch_reg=args.attn_batch_reg)
+        if name in ("Starv3_Trans", "Starv4_Trans"):
+            kwargs["meta_mode"] = args.meta_mode
+        return cls(**kwargs)
     if name == "Star_Net":
         return cls(layout=layout, domain_col=domain_col_list[0],
                    num_domains=num_domains, domain_id_as_feature=True,
@@ -216,10 +254,37 @@ def main(argv=None):
                         loss="binary_crossentropy",
                         metrics=["binary_crossentropy", "auc"])
 
-    trainer.fit(train_x, train[target], batch_size=batch_size,
-                epochs=args.epochs, verbose=1, scan_steps=args.scan_steps)
+    from ..train import callbacks as cb
+    fit_callbacks = []
+    if "test" in flag:
+        # crash probe: abort after 5 steps with the loss printed
+        # (reference meta_basemodel.py:321-323)
+        fit_callbacks.append(cb.TestCrashProbe())
 
-    pred = trainer.predict(test_x, test_batch_size)
+    if args.finetune:
+        from ..train import checkpoint
+        trainer._strategy = trainer._resolve_strategy(train_x)
+        checkpoint.restore(os.path.join(args.checkpoint_dir, config_str(args, domain_col, flag)),
+                           trainer)
+        print("restored checkpoint for finetuning")
+
+    trainer.fit(train_x, train[target], batch_size=batch_size,
+                epochs=args.epochs, verbose=1, scan_steps=args.scan_steps,
+                callbacks=fit_callbacks)
+
+    if "showattn" in flag and hasattr(model, "domain_cols"):
+        from ..train.attention_probe import predict_with_attention
+        pred, attn_stats = predict_with_attention(
+            trainer, test_x, test[target], batch_size=test_batch_size)
+        np.save(os.path.join(args.results_dir, "attn_stats.npy"),
+                np.asarray(attn_stats, dtype=object), allow_pickle=True)
+    else:
+        pred = trainer.predict(test_x, test_batch_size)
+    if "instattn" in flag and hasattr(model, "domain_cols"):
+        from ..train.attention_probe import dump_instance_attention
+        dump_instance_attention(trainer, test_x, batch_size=test_batch_size,
+                                out_prefix=os.path.join(args.results_dir,
+                                                        "inst_attn"))
 
     test_auc = round(metrics.auc(test[target], pred), 4)
     test_loss = metrics.log_loss(test[target], pred)
@@ -236,25 +301,17 @@ def main(argv=None):
     os.makedirs(args.results_dir, exist_ok=True)
     file_name = os.path.join(args.results_dir,
                              f"{args.data_name}_results.csv")
-    if "SATrans" in model_name:
-        config = (f"{model_name}_{args.embedding_dim}_{args.learning_rate}_"
-                  f"{args.domain_att_layer_num}_{args.att_head_num}_"
-                  f"{args.meta_mode}_{args.seed}_{domain_col}_{flag}")
-    elif "AutoInt" in model_name:
-        config = (f"{model_name}_{args.embedding_dim}_{args.learning_rate}_"
-                  f"{args.att_layer_num}_{args.att_head_num}_"
-                  f"{args.att_layer_type}_{args.seed}_{domain_col}_{flag}")
-    else:
-        config = (f"{model_name}_{args.embedding_dim}_{args.learning_rate}_"
-                  f"{args.seed}_{domain_col}_{flag}")
+    config = config_str(args, domain_col, flag)
     with open(file_name, "a") as f:
         f.write(f"{dt}-{config}," + ",".join(test_auc_list)
                 + f",{test_loss:.6f}\n")
 
     if "dump" in flag:
+        from ..data import io as data_io
         from ..train import checkpoint
         path = os.path.join(args.checkpoint_dir, config)
         checkpoint.save(path, trainer)
+        data_io.dump_pkl(pred, path + "_testpred.pkl")  # main.py:401
         print(f"checkpoint saved to {path}")
 
     return test_auc

@@ -54,6 +54,44 @@ class History(Callback):
             self.history.setdefault(k, []).append(v)
 
 
+class ModelCheckpoint(Callback):
+    """Save params/opt-state/state each epoch (optionally only on metric
+    improvement) via orbax - the reference's ModelCheckpoint equivalent."""
+
+    def __init__(self, path: str, monitor: str | None = None,
+                 mode: str = "max"):
+        self.path = path
+        self.monitor = monitor
+        self.sign = 1.0 if mode == "max" else -1.0
+        self.best = -np.inf
+
+    def on_epoch_end(self, epoch, logs=None):
+        from . import checkpoint
+        if self.monitor is not None:
+            value = (logs or {}).get(self.monitor)
+            if value is None or self.sign * value <= self.best:
+                return
+            self.best = self.sign * value
+        checkpoint.save(self.path, self.trainer)
+
+
+class TestCrashProbe(Callback):
+    """The reference's ``'test' in flag`` probe: print the loss after a few
+    steps then abort (meta_basemodel.py:321-323) - a quick end-to-end smoke
+    of the compiled step without a full epoch."""
+
+    def __init__(self, after_steps: int = 5):
+        self.after_steps = after_steps
+        self.count = 0
+
+    def on_batch_end(self, step, logs=None):
+        self.count += 1
+        if self.count >= self.after_steps:
+            loss = (logs or {}).get("loss")
+            print(f"\ntest out: {loss}")
+            raise AssertionError("test probe abort (flag 'test')")
+
+
 class EarlyStopping(Callback):
     def __init__(self, monitor="val_auc", patience=0, mode="max", min_delta=0.0):
         self.monitor = monitor

@@ -340,6 +340,7 @@ class Trainer:
                           f"loss {float(s['loss']) / denom:.6f} "
                           f"reg {float(s['reg_loss']) / denom:.6f}",
                           end="", flush=True)
+                callback_list.on_batch_end(step, {"loss": stats["loss"]})
                 if (validation_data is not None and valid_cnt_per_epoch > 1
                         and step % steps_to_valid < scan_steps):
                     r = self.evaluate(*validation_data, batch_size=batch_size * 4)
