@@ -31,32 +31,63 @@ from .features import FeatureLayout
 from .nn import initializers as init
 
 
+def pack_factor(d: int) -> int:
+    """Logical rows per physical 128-lane row.
+
+    TPU HBM layouts pad the minor dimension to 128 lanes, so a ``[R, 32]``
+    bank physically occupies 4x its logical bytes and every gather/Adam pass
+    pays 4x bandwidth.  Packing ``pack_factor`` logical rows into one
+    128-wide physical row (a pure reshape - values unchanged) measured 2.3x
+    faster gathers and ~4x less optimizer traffic on v5e (see gsbench in the
+    bench history).
+    """
+    return 128 // d if d in (1, 2, 4, 8, 16, 32, 64, 128) else 1
+
+
 def bank_init(key, layout: FeatureLayout, *, dim: int | None = None,
               init_std: float | None = 1e-4):
-    """Create the fused bank.
+    """Create the fused bank, stored packed as ``[R/rp, rp*d]``.
 
-    ``init_std=None`` leaves the bank uninitialized-normal(0,1)? No - it maps
-    to the reference's ``noembinit`` flag (basemodel.py:114-116), which skips
-    the N(0, init_std) re-init and keeps torch's ``nn.Embedding`` default
-    N(0, 1).
+    ``init_std=None`` maps to the reference's ``noembinit`` flag
+    (basemodel.py:114-116): keep torch's ``nn.Embedding`` default N(0, 1).
     """
     d = layout.embedding_dim if dim is None else dim
-    if layout.total_rows == 0:
-        return {"bank": jnp.zeros((0, d))}
+    rp = pack_factor(d)
+    rows = -(-max(layout.total_rows, 1) // rp) * rp
     if init_std is None:
-        bank = init.torch_embedding_default(key, (layout.total_rows, d))
+        bank = init.torch_embedding_default(key, (rows, d))
     else:
-        bank = init.normal(key, (layout.total_rows, d), init_std)
-    return {"bank": bank}
+        bank = init.normal(key, (rows, d), init_std)
+    # zero the <rp pad rows so they contribute nothing to L2 / updates
+    if rows > layout.total_rows:
+        bank = bank.at[layout.total_rows:].set(0.0)
+    return {"bank": bank.reshape(rows // rp, rp * d)}
 
 
-def lookup_sparse(params, layout: FeatureLayout, sparse_ids):
+def bank_logical(params, d: int):
+    """View the packed bank as logical ``[R, d]`` rows (a reshape)."""
+    return params["bank"].reshape(-1, d)
+
+
+def lookup_rows(params, ids, d: int):
+    """Gather logical rows ``ids -> [..., d]`` through the packed layout."""
+    rp = params["bank"].shape[1] // d
+    if rp == 1:
+        return params["bank"][ids]
+    phys = params["bank"][ids // rp]                      # [..., rp*d]
+    oh = jax.nn.one_hot(ids % rp, rp, dtype=phys.dtype)   # [..., rp]
+    return jnp.einsum("...f,...fd->...d", oh,
+                      phys.reshape(*phys.shape[:-1], rp, d))
+
+
+def lookup_sparse(params, layout: FeatureLayout, sparse_ids, dim=None):
     """``[B, S] int32 -> [B, S, dim]`` - the single fused gather."""
     offsets = jnp.asarray(layout.sparse_field_offsets)
-    return params["bank"][sparse_ids + offsets[None, :]]
+    return lookup_rows(params, sparse_ids + offsets[None, :],
+                       dim or layout.embedding_dim)
 
 
-def lookup_varlen(params, layout: FeatureLayout, varlen_ids):
+def lookup_varlen(params, layout: FeatureLayout, varlen_ids, dim=None):
     """``[B, V, maxlen] -> [B, V, dim]`` with per-field combiner pooling.
 
     Pad id is 0 (reference aliccp_dataset_processing.py:226); pooling masks
@@ -64,7 +95,8 @@ def lookup_varlen(params, layout: FeatureLayout, varlen_ids):
     (reference basemodel.py:479-482).
     """
     offsets = jnp.asarray(layout.varlen_field_offsets)
-    emb = params["bank"][varlen_ids + offsets[None, :, None]]  # [B,V,L,dim]
+    emb = lookup_rows(params, varlen_ids + offsets[None, :, None],
+                      dim or layout.embedding_dim)  # [B,V,L,dim]
     mask = (varlen_ids > 0)[..., None]  # [B,V,L,1]
     pooled = []
     for i, feat in enumerate(layout.varlen):
@@ -85,14 +117,14 @@ def lookup_varlen(params, layout: FeatureLayout, varlen_ids):
     return jnp.stack(pooled, axis=1)
 
 
-def embed_fields(params, layout: FeatureLayout, batch):
+def embed_fields(params, layout: FeatureLayout, batch, dim=None):
     """All field embeddings ``[B, F, dim]`` (sparse then pooled varlen),
     in the declaration order the reference uses (basemodel.py:475-487)."""
     parts = []
     if layout.sparse:
-        parts.append(lookup_sparse(params, layout, batch["sparse"]))
+        parts.append(lookup_sparse(params, layout, batch["sparse"], dim))
     if layout.varlen:
-        parts.append(lookup_varlen(params, layout, batch["varlen"]))
+        parts.append(lookup_varlen(params, layout, batch["varlen"], dim))
     if not parts:
         raise ValueError("no sparse features")
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
@@ -121,7 +153,7 @@ def linear_model_init(key, layout: FeatureLayout, *, init_std: float = 1e-4):
 def linear_model_apply(p, layout: FeatureLayout, batch):
     """First-order logit ``[B, 1]``: sum of 1-dim embeddings + dense dot."""
     logit = jnp.zeros((next(iter(batch.values())).shape[0], 1))
-    emb = embed_fields(p["emb"], layout, batch)  # [B, F, 1]
+    emb = embed_fields(p["emb"], layout, batch, dim=1)  # [B, F, 1]
     logit = logit + jnp.sum(emb, axis=(1, 2), keepdims=False)[:, None]
     if "dense_w" in p and "dense" in batch:
         logit = logit + batch["dense"] @ p["dense_w"]

@@ -73,6 +73,16 @@ class SATrans:
     # measured ~17% faster per train step on v5e (see bench.py). Equality
     # with the gather path is covered by tests.
     dense_select: bool = True
+    # 'bfloat16' runs the interaction stack in the MXU-native dtype (params
+    # stay fp32; LayerNorm/softmax reduce in fp32) - measured 1.5x on the
+    # stack forward on v5e. 'float32' (default) is bit-parity mode.
+    compute_dtype: str = "float32"
+    # Fused Pallas meta-transformer layer (ops/pallas/meta_block.py):
+    # None = auto (on for the QK/metanet/single-column sota shape on TPU),
+    # True/False forces. Falls back transparently when unsupported.
+    use_fused_kernel: bool | None = None
+    fused_block_b: int = 256
+    fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     def __post_init__(self):
         d = self.layout.embedding_dim
@@ -197,6 +207,7 @@ class SATrans:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         x = embeddings.embed_fields(p["emb"], self.layout, batch)  # [B, F, d]
+        cdtype = jnp.dtype(self.compute_dtype)
 
         single_col = len(self.domain_cols) == 1
         domain_ids = batch["sparse"][:, self.layout.sparse_index(self.domain_cols[0])]
@@ -206,6 +217,45 @@ class SATrans:
         else:
             tables = self._meta_params_per_example(p, batch)
             dom = None
+        if cdtype != jnp.float32:
+            x = x.astype(cdtype)
+            tables = jax.tree.map(lambda t: t.astype(cdtype), tables)
+            p = dict(p)
+            p["layers"] = jax.tree.map(lambda t: t.astype(cdtype), p["layers"])
+
+        fused = self.use_fused_kernel
+        blk = None
+        if fused is None or fused:
+            for cand in (self.fused_block_b, 256, 128, 64, 32, 16):
+                if x.shape[0] % cand == 0:
+                    blk = cand
+                    break
+            auto_ok = (single_col and self.variant == "metanet"
+                       and self.meta_mode == "QK" and not self.use_pos
+                       and not self.relu_out and not return_scores
+                       and blk is not None
+                       and cdtype == jnp.float32
+                       and jax.default_backend() == "tpu")
+            fused = auto_ok if fused is None else (fused and blk is not None
+                                                   and single_col
+                                                   and not return_scores)
+        if fused:
+            from ..ops.pallas import meta_block
+            onehot = jax.nn.one_hot(dom, self.num_domains + 1, dtype=x.dtype)
+            for i, layer_p in enumerate(p["layers"]):
+                seed = jax.random.randint(jax.random.fold_in(rng, i), (),
+                                          0, 2 ** 31 - 1, dtype=jnp.int32)
+                x = meta_block.fused_meta_layer_vjp(
+                    x, layer_p, tables[i], onehot,
+                    meta_units=self.meta_units, head_num=self.att_head_num,
+                    drop_rate=self.dropout_rate, train=train, seed=seed,
+                    block_b=blk, interpret=self.fused_interpret)
+            flat = x.reshape(x.shape[0], -1).astype(jnp.float32)
+            if self.layout.dense_dim > 0 and "dense" in batch:
+                flat = jnp.concatenate([flat, batch["dense"]], axis=1)
+            logit = core.linear_apply(params["head"], flat)
+            pred = core.prediction(logit, self.task)[:, 0]
+            return pred, state, jnp.asarray(0.0)
 
         all_scores = []
         for i, layer_p in enumerate(p["layers"]):
@@ -222,10 +272,10 @@ class SATrans:
             else:
                 x = out
 
-        flat = x.reshape(x.shape[0], -1)
+        flat = x.reshape(x.shape[0], -1).astype(jnp.float32)
         if self.layout.dense_dim > 0 and "dense" in batch:
             flat = jnp.concatenate([flat, batch["dense"]], axis=1)
-        logit = core.linear_apply(p["head"], flat)
+        logit = core.linear_apply(params["head"], flat)
         pred = core.prediction(logit, self.task)[:, 0]
         if return_scores:
             return pred, state, jnp.asarray(0.0), all_scores

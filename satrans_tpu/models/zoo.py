@@ -562,7 +562,8 @@ class AdaSparse(ZooBase):
         ids = batch["sparse"][:, self.layout.sparse_index(self.domain_col)]
         offset = int(self.layout.sparse_field_offsets[
             self.layout.sparse_index(self.domain_col)])
-        dom_emb = params["emb"]["bank"][ids + offset]
+        dom_emb = embeddings.lookup_rows(params["emb"], ids + offset,
+                                         self.embedding_dim)
         if self.use_trans:
             att = x
             for i, lp in enumerate(params["int_layers"]):

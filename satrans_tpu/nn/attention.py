@@ -55,8 +55,11 @@ def _mha(q, k, v, head_num: int, *, scaling: bool, attn_dropout: float,
     qh, kh, vh = (_split_heads(t, head_num) for t in (q, k, v))
     scores = jnp.einsum("bhik,bhjk->bhij", qh, kh)
     if scaling:
-        scores = scores / jnp.sqrt(jnp.asarray(dh, scores.dtype))
-    scores = jax.nn.softmax(scores, axis=-1)
+        scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(
+            scores.dtype)
+    # softmax in fp32 for bf16 compute paths
+    scores = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    scores = scores.astype(q.dtype)
     if attn_dropout > 0.0 and train:
         scores = core.dropout(scores, attn_dropout, train, rng)
     out = jnp.einsum("bhij,bhjk->bhik", scores, vh)

@@ -95,10 +95,13 @@ def layer_norm_init(key, dim: int, *, weight_init=init.ones, bias_init=init.zero
 
 
 def layer_norm_apply(p, x, *, eps: float = 1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * p["scale"] + p["bias"]
+    # Moments in fp32 even under a bf16 compute path; output keeps x.dtype.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

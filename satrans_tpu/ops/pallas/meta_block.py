@@ -1,0 +1,539 @@
+"""Fused SATrans meta-transformer layer as a Pallas TPU kernel.
+
+One kernel evaluates the whole layer (reference Meta_Transformer_Layer,
+satrans.py:50-100) for a tile of examples entirely in VMEM:
+
+    Q0,K0,V = x@Wq, x@Wk, x@Wv
+    Q = LN(drop(relu(Q0@W1[dom])@W2[dom]) + Q0)     # MetaNet, dense-select
+    K = LN(drop(relu(K0@W1[dom])@W2[dom]) + K0)     # shared MetaNet (non-pos)
+    S = drop(softmax(per-head QK^T / sqrt(dh)))
+    out = LN(drop((S@V)@Wout) + x)
+
+Why a kernel: under XLA each of the ~12 small ops on ``[B, F=19, d=32]``
+tensors materializes an HBM intermediate padded to 128 lanes and runs as its
+own kernel; measured 3.9 ms/layer forward on v5e for B=8192 vs ~0.1 ms of
+MXU math.  Here the per-tile working set (~6 MB at TB=256) stays in VMEM,
+the projections and MetaNet run as wide GEMMs over all domains at once
+(``[TB*F, d] @ [d, D*h]``) with one-hot selection, and the tiny F x F
+attention is computed as VPU outer-product accumulation (no batched matmul,
+which Mosaic would serialize).
+
+Dropout: in-kernel PRNG (pltpu.prng_*) seeded per (layer_seed, tile), so the
+backward kernel regenerates identical masks without storing them.
+
+The custom VJP's backward is a second Pallas kernel (same tiling) that
+recomputes the forward internals flash-attention-style and accumulates
+parameter gradients across grid steps into single-block outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def _layer_norm_fwd(u, scale, bias, eps=1e-6):
+    mu = jnp.mean(u, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(u - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (u - mu) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _layer_norm_bwd(g, xhat, inv, scale):
+    """d u given upstream g for y = xhat*scale + bias."""
+    n = g.shape[-1]
+    gg = g * scale
+    mean_gg = jnp.mean(gg, axis=-1, keepdims=True)
+    mean_ggx = jnp.mean(gg * xhat, axis=-1, keepdims=True)
+    return (gg - mean_gg - xhat * mean_ggx) * inv
+
+
+def _dropout_mask(shape, rate: float):
+    """Generate a keep-mask from the already-seeded in-kernel PRNG.
+
+    Draw order matters: fwd and bwd must call in the same sequence.
+    """
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    # keep if bits >= rate * 2^32
+    threshold = jnp.uint32(int(rate * (2 ** 32)))
+    return (bits >= threshold).astype(F32) / (1.0 - rate)
+
+
+def _meta_apply(t0, w1cat, w2cat, onehot_rows, D: int, h: int, d: int):
+    """relu(t0 @ W1[dom]) @ W2[dom] via all-domain wide GEMMs + select.
+
+    t0: [N, d]; w1cat: [d, D*h]; w2cat: [h, D*d]; onehot_rows: [N, D].
+    """
+    n = t0.shape[0]
+    H = jax.nn.relu(jnp.dot(t0, w1cat, preferred_element_type=F32))  # [N,D*h]
+    Hsel = jnp.sum(H.reshape(n, D, h) * onehot_rows[:, :, None], axis=1)
+    Y = jnp.dot(Hsel, w2cat, preferred_element_type=F32)             # [N,D*d]
+    Ysel = jnp.sum(Y.reshape(n, D, d) * onehot_rows[:, :, None], axis=1)
+    return Ysel, Hsel
+
+
+def _attention(q, k, v, head_num: int, F_: int, d: int, *,
+               drop_rate: float, train: bool):
+    """VPU-formulated multi-head attention for tiny F.
+
+    q,k,v: [TB, F, d].  Returns (o [TB, F, d], s_all [TB, H, F, F]).
+    """
+    dh = d // head_num
+    scale = 1.0 / math.sqrt(dh)
+    outs = []
+    s_keep = []
+    for hd in range(head_num):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
+        # scores via channel outer products: [TB, F, F]
+        s = jnp.zeros(q.shape[:1] + (F_, F_), F32)
+        for c in range(dh):
+            s = s + qh[:, :, c][:, :, None] * kh[:, :, c][:, None, :]
+        s = s * scale
+        s = jax.nn.softmax(s, axis=-1)
+        if train and drop_rate > 0.0:
+            s = s * _dropout_mask(s.shape, drop_rate)
+        s_keep.append(s)
+        # o = s @ v via j-accumulation: [TB, F, dh]
+        o = jnp.zeros(q.shape[:1] + (F_, dh), F32)
+        for j in range(F_):
+            o = o + s[:, :, j][:, :, None] * vh[:, j, :][:, None, :]
+        outs.append(o)
+    return jnp.concatenate(outs, axis=-1), s_keep
+
+
+def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
+                lnq_ref, wout_ref, lno_ref, out_ref, *,
+                D: int, h: int, head_num: int, drop_rate: float, train: bool):
+    TB, F_, d = x_ref.shape
+    if train and drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(F32)
+    x2 = x.reshape(TB * F_, d)
+    onehot = dom_ref[:]                                   # [TB, D]
+    onehot_rows = jnp.repeat(onehot, F_, axis=0)          # [TB*F, D]
+
+    qkv = jnp.dot(x2, wqkv_ref[:], preferred_element_type=F32)  # [N, 3d]
+    q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+
+    yq, _ = _meta_apply(q0, w1cat_ref[:], w2cat_ref[:], onehot_rows, D, h, d)
+    if train and drop_rate > 0.0:
+        yq = yq * _dropout_mask(yq.shape, drop_rate)
+    qn, _, _ = _layer_norm_fwd(yq + q0, lnq_ref[0], lnq_ref[1])
+
+    yk, _ = _meta_apply(k0, w1cat_ref[:], w2cat_ref[:], onehot_rows, D, h, d)
+    if train and drop_rate > 0.0:
+        yk = yk * _dropout_mask(yk.shape, drop_rate)
+    kn, _, _ = _layer_norm_fwd(yk + k0, lnq_ref[0], lnq_ref[1])
+
+    o, _ = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
+                      v0.reshape(TB, F_, d), head_num, F_, d,
+                      drop_rate=drop_rate, train=train)
+    z = jnp.dot(o.reshape(TB * F_, d), wout_ref[:],
+                preferred_element_type=F32)
+    if train and drop_rate > 0.0:
+        z = z * _dropout_mask(z.shape, drop_rate)
+    u = z.reshape(TB, F_, d) + x
+    y, _, _ = _layer_norm_fwd(u, lno_ref[0], lno_ref[1])
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _pack(params, meta_units, dtype=F32):
+    """Pack layer params into the kernel's concatenated forms."""
+    d, h = meta_units[0], meta_units[1]
+    wqkv = jnp.concatenate([params["wq"], params["wk"], params["wv"]],
+                           axis=1).astype(dtype)
+    return wqkv
+
+
+def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
+                     meta_units, head_num: int, drop_rate: float = 0.1,
+                     train: bool = False, seed: int = 0,
+                     block_b: int = 256, interpret: bool = False):
+    """Forward of one meta-transformer layer (QK mode, dense-select).
+
+    x: [B, F, d] fp32; layer_params: dict from attention.meta_transformer_init
+    (metanet variant); meta_tables: {'Q': [D, P]} flat per-domain params (Q/K
+    share, non-pos); domain_onehot: [B, D].
+    """
+    B, F_, d = x.shape
+    D = domain_onehot.shape[1]
+    h = meta_units[1]
+    P = d * h + h * d
+
+    flat = meta_tables["Q"][:, :P]
+    w1 = flat[:, : d * h].reshape(D, d, h)
+    w2 = flat[:, d * h:].reshape(D, h, d)
+    # [d, D*h] / [h, D*d] concatenations for the wide GEMMs
+    w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
+    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=1)
+    wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
+                            layer_params["wv"]], axis=1)
+    lnq_p = layer_params.get("q_meta", {}).get(
+        "ln", {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))})
+    lnq = jnp.stack([lnq_p["scale"], lnq_p["bias"]])
+    lno = jnp.stack([layer_params["ln"]["scale"], layer_params["ln"]["bias"]])
+
+    if B % block_b:
+        raise ValueError(f"batch {B} must divide block_b {block_b}")
+    grid = (B // block_b,)
+
+    kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
+                               drop_rate=drop_rate, train=train)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
+                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
+        interpret=interpret,
+    )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1cat, w2cat, lnq,
+      layer_params["wout"], lno)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (recompute-forward, flash-attention style)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
+                lnq_ref, wout_ref, lno_ref, g_ref,
+                dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
+                dwout_ref, dlno_ref, *,
+                D: int, h: int, head_num: int, drop_rate: float, train: bool):
+    TB, F_, d = x_ref.shape
+    N = TB * F_
+    dh = d // head_num
+    scale = 1.0 / math.sqrt(dh)
+    use_drop = train and drop_rate > 0.0
+
+    # ---- regenerate dropout masks in the forward draw order ----
+    if use_drop:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        m_yq = _dropout_mask((N, d), drop_rate)
+        m_yk = _dropout_mask((N, d), drop_rate)
+        m_s = [_dropout_mask((TB, F_, F_), drop_rate)
+               for _ in range(head_num)]
+        m_z = _dropout_mask((N, d), drop_rate)
+
+    x = x_ref[:].astype(F32)
+    x2 = x.reshape(N, d)
+    onehot = dom_ref[:]
+    onehot_rows = jnp.repeat(onehot, F_, axis=0)
+    w1cat = w1cat_ref[:]
+    w2cat = w2cat_ref[:]
+    wqkv = wqkv_ref[:]
+    wout = wout_ref[:]
+
+    # ---- recompute forward ----
+    qkv = jnp.dot(x2, wqkv, preferred_element_type=F32)
+    q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+
+    def meta_fwd(t0):
+        H = jax.nn.relu(jnp.dot(t0, w1cat, preferred_element_type=F32))
+        Hsel = jnp.sum(H.reshape(N, D, h) * onehot_rows[:, :, None], axis=1)
+        Y = jnp.dot(Hsel, w2cat, preferred_element_type=F32)
+        Ysel = jnp.sum(Y.reshape(N, D, d) * onehot_rows[:, :, None], axis=1)
+        return Ysel, Hsel
+
+    yq, hq = meta_fwd(q0)
+    if use_drop:
+        yq = yq * m_yq
+    qn, xhat_q, inv_q = _layer_norm_fwd(yq + q0, lnq_ref[0], lnq_ref[1])
+    yk, hk = meta_fwd(k0)
+    if use_drop:
+        yk = yk * m_yk
+    kn, xhat_k, inv_k = _layer_norm_fwd(yk + k0, lnq_ref[0], lnq_ref[1])
+
+    q3 = qn.reshape(TB, F_, d)
+    k3 = kn.reshape(TB, F_, d)
+    v3 = v0.reshape(TB, F_, d)
+
+    s_list, sm_list = [], []
+    o_parts = []
+    for hd in range(head_num):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
+        s = jnp.zeros((TB, F_, F_), F32)
+        for c in range(dh):
+            s = s + qh[:, :, c][:, :, None] * kh[:, :, c][:, None, :]
+        s = jax.nn.softmax(s * scale, axis=-1)
+        s_list.append(s)
+        sm = s * m_s[hd] if use_drop else s
+        sm_list.append(sm)
+        o = jnp.zeros((TB, F_, dh), F32)
+        for j in range(F_):
+            o = o + sm[:, :, j][:, :, None] * vh[:, j, :][:, None, :]
+        o_parts.append(o)
+    o3 = jnp.concatenate(o_parts, axis=-1)
+    o2 = o3.reshape(N, d)
+    z = jnp.dot(o2, wout, preferred_element_type=F32)
+    if use_drop:
+        z = z * m_z
+    u = z.reshape(TB, F_, d) + x
+    _, xhat_o, inv_o = _layer_norm_fwd(u, lno_ref[0], lno_ref[1])
+
+    # ---- backward ----
+    g = g_ref[:].astype(F32)
+    # outer LN
+    dlno_s = jnp.sum(g * xhat_o, axis=(0, 1))
+    dlno_b = jnp.sum(g, axis=(0, 1))
+    du = _layer_norm_bwd(g, xhat_o, inv_o, lno_ref[0])
+    dx = du  # residual
+    dz = du.reshape(N, d)
+    if use_drop:
+        dz = dz * m_z
+    dwout = jnp.dot(o2.T, dz, preferred_element_type=F32)
+    do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
+    do3 = do2.reshape(TB, F_, d)
+
+    dqn = jnp.zeros((TB, F_, d), F32)
+    dkn = jnp.zeros((TB, F_, d), F32)
+    dv3 = jnp.zeros((TB, F_, d), F32)
+    for hd in range(head_num):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        do_h = do3[..., sl]
+        vh = v3[..., sl]
+        s = s_list[hd]
+        sm = sm_list[hd]
+        # dS_used[b,i,j] = sum_c do[b,i,c] v[b,j,c]
+        ds_used = jnp.zeros((TB, F_, F_), F32)
+        for c in range(dh):
+            ds_used = ds_used + do_h[:, :, c][:, :, None] \
+                * vh[:, :, c][:, None, :]
+        # dV_h[b,j,c] = sum_i sm[b,i,j] do[b,i,c]
+        dvh = jnp.zeros((TB, F_, dh), F32)
+        for i in range(F_):
+            dvh = dvh + sm[:, i, :][:, :, None] * do_h[:, i, :][:, None, :]
+        dv3 = dv3.at[..., sl].set(dvh) if False else \
+            jax.lax.dynamic_update_slice_in_dim(dv3, dvh, hd * dh, axis=2)
+        ds = ds_used * m_s[hd] if use_drop else ds_used
+        da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
+        da = da * scale
+        qh, kh = q3[..., sl], k3[..., sl]
+        # dQ_h[b,i,c] = sum_j da[b,i,j] k[b,j,c]
+        dqh = jnp.zeros((TB, F_, dh), F32)
+        dkh = jnp.zeros((TB, F_, dh), F32)
+        for j in range(F_):
+            dqh = dqh + da[:, :, j][:, :, None] * kh[:, j, :][:, None, :]
+        for i in range(F_):
+            dkh = dkh + da[:, i, :][:, :, None] * qh[:, i, :][:, None, :]
+        dqn = jax.lax.dynamic_update_slice_in_dim(dqn, dqh, hd * dh, axis=2)
+        dkn = jax.lax.dynamic_update_slice_in_dim(dkn, dkh, hd * dh, axis=2)
+
+    # meta/LN backward for Q and K paths (shared LN + shared meta weights)
+    w1cat_T = jnp.concatenate(
+        [w1cat[:, i * h:(i + 1) * h].T for i in range(D)], axis=1)  # [h, D*d]
+    w2cat_T = jnp.concatenate(
+        [w2cat[:, i * d:(i + 1) * d].T for i in range(D)], axis=1)  # [d, D*h]
+
+    def meta_bwd(dyn, xhat, inv, t0, hsel, y_mask):
+        """dyn/xhat/inv/t0/hsel all [N, d]-shaped.
+        Returns (dt0, dW1cat, dW2cat, dln_scale, dln_bias)."""
+        dls = jnp.sum(dyn * xhat, axis=0)
+        dlb = jnp.sum(dyn, axis=0)
+        duq = _layer_norm_bwd(dyn, xhat, inv, lnq_ref[0])
+        dy = duq * y_mask if y_mask is not None else duq
+        dt0 = duq  # residual branch
+        # dHsel = select_d(dy @ w2_d^T)
+        A = jnp.dot(dy, w2cat_T, preferred_element_type=F32)  # [N, D*h]
+        dhsel = jnp.sum(A.reshape(N, D, h) * onehot_rows[:, :, None], axis=1)
+        relu_mask = (hsel > 0).astype(F32)
+        dhrelu = dhsel * relu_mask
+        # dW2_d = Hsel_d^T dy ; dW1_d = t0_d^T dHrelu  (masked rows)
+        dw2_parts = []
+        dw1_parts = []
+        for dom in range(D):
+            m = onehot_rows[:, dom][:, None]
+            dw2_parts.append(jnp.dot((hsel * m).T, dy,
+                                     preferred_element_type=F32))
+            dw1_parts.append(jnp.dot((t0 * m).T, dhrelu,
+                                     preferred_element_type=F32))
+        dw2c = jnp.concatenate(dw2_parts, axis=1)   # [h, D*d]
+        dw1c = jnp.concatenate(dw1_parts, axis=1)   # [d, D*h]
+        # dt0 += select_d(dHrelu @ w1_d^T)
+        Bm = jnp.dot(dhrelu, w1cat_T, preferred_element_type=F32)  # [N, D*d]
+        dt0 = dt0 + jnp.sum(Bm.reshape(N, D, d) * onehot_rows[:, :, None],
+                            axis=1)
+        return dt0, dw1c, dw2c, dls, dlb
+
+    dq0, dw1c_q, dw2c_q, dls_q, dlb_q = meta_bwd(
+        dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
+        m_yq if use_drop else None)
+    dk0, dw1c_k, dw2c_k, dls_k, dlb_k = meta_bwd(
+        dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
+        m_yk if use_drop else None)
+
+    dqkv = jnp.concatenate([dq0, dk0, dv3.reshape(N, d)], axis=1)  # [N, 3d]
+    dwqkv = jnp.dot(x2.T, dqkv, preferred_element_type=F32)
+    dx = dx + jnp.dot(dqkv, wqkv.T,
+                      preferred_element_type=F32).reshape(TB, F_, d)
+
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    # accumulate weight grads across grid steps
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dw1cat_ref[:] = jnp.zeros_like(dw1cat_ref)
+        dw2cat_ref[:] = jnp.zeros_like(dw2cat_ref)
+        dlnq_ref[:] = jnp.zeros_like(dlnq_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dlno_ref[:] = jnp.zeros_like(dlno_ref)
+
+    dwqkv_ref[:] += dwqkv
+    dw1cat_ref[:] += dw1c_q + dw1c_k
+    dw2cat_ref[:] += dw2c_q + dw2c_k
+    dlnq_ref[0] += dls_q + dls_k
+    dlnq_ref[1] += dlb_q + dlb_k
+    dwout_ref[:] += dwout
+    dlno_ref[0] += dlno_s
+    dlno_ref[1] += dlno_b
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
+    B, F_, d = x.shape
+    D, h, head_num, drop_rate, train, block_b, interpret = cfg
+    kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
+                               drop_rate=drop_rate, train=train)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // block_b,),
+            in_specs=[
+                pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
+                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
+        interpret=interpret,
+    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno)
+
+
+def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
+    B, F_, d = x.shape
+    D, h, head_num, drop_rate, train, block_b, interpret = cfg
+    kernel = functools.partial(_bwd_kernel, D=D, h=h, head_num=head_num,
+                               drop_rate=drop_rate, train=train)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, F_, d), x.dtype),        # dx
+        jax.ShapeDtypeStruct((d, 3 * d), F32),            # dwqkv
+        jax.ShapeDtypeStruct((d, D * h), F32),            # dw1cat
+        jax.ShapeDtypeStruct((h, D * d), F32),            # dw2cat
+        jax.ShapeDtypeStruct((2, d), F32),                # dlnq
+        jax.ShapeDtypeStruct((d, d), F32),                # dwout
+        jax.ShapeDtypeStruct((2, d), F32),                # dlno
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // block_b,),
+            in_specs=[
+                pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
+                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+            ),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _fused_layer(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
+    return _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
+
+
+def _fused_layer_fwd(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
+    y = _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
+    return y, (x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed)
+
+
+def _fused_layer_bwd(cfg, res, g):
+    x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed = res
+    dx, dwqkv, dw1cat, dw2cat, dlnq, dwout, dlno = _bwd_call(
+        x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg)
+    return (dx, dwqkv, dw1cat, dw2cat, dlnq, dwout, dlno,
+            jnp.zeros_like(onehot), jnp.zeros_like(seed))
+
+
+_fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
+                         meta_units, head_num: int, drop_rate: float = 0.1,
+                         train: bool = False, seed: int = 0,
+                         block_b: int = 256, interpret: bool = False):
+    """Differentiable fused layer.  The packing (concats/reshapes) happens
+    outside the custom-vjp boundary so XLA autodiffs it, routing gradients
+    back to the original parameter structure including the per-domain flat
+    meta tables."""
+    B, F_, d = x.shape
+    D = domain_onehot.shape[1]
+    h = meta_units[1]
+    P = d * h + h * d
+    flat = meta_tables["Q"][:, :P]
+    w1 = flat[:, : d * h].reshape(D, d, h)
+    w2 = flat[:, d * h:].reshape(D, h, d)
+    w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
+    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=1)
+    wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
+                            layer_params["wv"]], axis=1)
+    lnq_p = layer_params.get("q_meta", {}).get(
+        "ln", {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))})
+    lnq = jnp.stack([lnq_p["scale"], lnq_p["bias"]])
+    lno = jnp.stack([layer_params["ln"]["scale"], layer_params["ln"]["bias"]])
+    cfg = (D, h, head_num, drop_rate, train, block_b, interpret)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    return _fused_layer(x, wqkv, w1cat, w2cat, lnq,
+                        layer_params["wout"], lno,
+                        domain_onehot.astype(F32), seed_arr, cfg)

@@ -1,0 +1,180 @@
+"""Fused meta-transformer kernel vs. the XLA reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from satrans_tpu.nn import attention, metanet
+from satrans_tpu.ops.pallas import meta_block
+
+
+def _setup(B=32, F=19, d=32, D=4, head_num=4, seed=0):
+    rng = np.random.default_rng(seed)
+    meta_units = [d, 2 * d, d]
+    P = metanet.param_size(meta_units)
+    x = jnp.asarray(rng.normal(size=(B, F, d)).astype(np.float32))
+    params = attention.meta_transformer_init(
+        jax.random.PRNGKey(seed), d, meta_units, share_kv_metanet=True)
+    tables = {"Q": jnp.asarray(rng.normal(size=(D, P)).astype(np.float32)
+                               * 0.1)}
+    tables["K"] = tables["Q"]
+    tables["V"] = tables["Q"]
+    dom = jnp.asarray(rng.integers(0, D, size=B))
+    onehot = jax.nn.one_hot(dom, D)
+    return x, params, tables, dom, onehot, meta_units, head_num
+
+
+def test_fused_forward_matches_reference():
+    x, params, tables, dom, onehot, units, H = _setup()
+    want = attention.meta_transformer_apply(
+        params, x, tables, units, mode="QK", head_num=H, train=False,
+        domain_ids=dom, dense_select=True)
+    got = meta_block.fused_meta_layer(
+        x, params, tables, onehot, meta_units=units, head_num=H,
+        train=False, block_b=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,blk", [(64, 32), (32, 32)])
+def test_fused_forward_tilings(B, blk):
+    x, params, tables, dom, onehot, units, H = _setup(B=B)
+    want = attention.meta_transformer_apply(
+        params, x, tables, units, mode="QK", head_num=H, train=False,
+        domain_ids=dom, dense_select=True)
+    got = meta_block.fused_meta_layer(
+        x, params, tables, onehot, meta_units=units, head_num=H,
+        train=False, block_b=blk, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_vjp_matches_reference_grads():
+    """Backward kernel vs jax.grad of the XLA reference implementation."""
+    x, params, tables, dom, onehot, units, H = _setup(B=32)
+
+    def ref_loss(x, params, tables):
+        t = tables["Q"]
+        y = attention.meta_transformer_apply(
+            params, x, {"Q": t, "K": t, "V": t}, units, mode="QK",
+            head_num=H, train=False, domain_ids=dom, dense_select=True)
+        return jnp.sum(jnp.sin(y))  # nontrivial upstream grads
+
+    def fused_loss(x, params, tables):
+        y = meta_block.fused_meta_layer_vjp(
+            x, params, tables, onehot, meta_units=units, head_num=H,
+            train=False, block_b=16, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    args = (x, params, {"Q": tables["Q"]})
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(*args)
+    got_grads = jax.grad(fused_loss, argnums=(0, 1, 2))(*args)
+
+    # dx
+    np.testing.assert_allclose(np.asarray(got_grads[0]),
+                               np.asarray(ref_grads[0]), rtol=2e-3, atol=2e-4)
+    # param grads: wq/wk/wv/wout/ln and metanet ln
+    for key in ("wq", "wk", "wv", "wout"):
+        np.testing.assert_allclose(np.asarray(got_grads[1][key]),
+                                   np.asarray(ref_grads[1][key]),
+                                   rtol=2e-3, atol=2e-4, err_msg=key)
+    for key in ("scale", "bias"):
+        np.testing.assert_allclose(np.asarray(got_grads[1]["ln"][key]),
+                                   np.asarray(ref_grads[1]["ln"][key]),
+                                   rtol=2e-3, atol=2e-4, err_msg="ln." + key)
+        np.testing.assert_allclose(
+            np.asarray(got_grads[1]["q_meta"]["ln"][key]),
+            np.asarray(ref_grads[1]["q_meta"]["ln"][key]),
+            rtol=2e-3, atol=2e-4, err_msg="q_meta.ln." + key)
+    # meta-table grads (per-domain flat)
+    np.testing.assert_allclose(np.asarray(got_grads[2]["Q"]),
+                               np.asarray(ref_grads[2]["Q"]),
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform == "cpu",
+                    reason="pltpu.prng_* not implemented in interpret mode")
+def test_fused_train_dropout_mask_consistency():
+    """Train mode: fwd is stochastic but fwd/bwd must share masks, so the
+    finite-difference direction along dx must roughly match (same seed)."""
+    x, params, tables, dom, onehot, units, H = _setup(B=16)
+
+    def fused_y(x):
+        return meta_block.fused_meta_layer_vjp(
+            x, params, tables, onehot, meta_units=units, head_num=H,
+            train=True, drop_rate=0.3, seed=123, block_b=16, interpret=True)
+
+    y1 = fused_y(x)
+    y2 = fused_y(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))  # same seed
+
+    g = jax.grad(lambda x: jnp.sum(fused_y(x)))(x)
+    # directional finite difference with the SAME seed (masks identical)
+    eps = 1e-3
+    v = jnp.ones_like(x)
+    fd = (jnp.sum(fused_y(x + eps * v)) - jnp.sum(fused_y(x - eps * v))) \
+        / (2 * eps)
+    analytic = jnp.sum(g * v)
+    np.testing.assert_allclose(float(fd), float(analytic), rtol=2e-2)
+
+
+def test_satrans_fused_path_matches_unfused():
+    """SATrans with the fused kernel == the XLA path (eval mode)."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+
+    cols = synthetic_columns(num_sparse=5, vocab=50, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    kw = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+              domain_att_layer_num=2, att_head_num=4,
+              meta_dnn_hidden_units=(64, 32))
+    m_ref = SATrans(use_fused_kernel=False, **kw)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                      fused_block_b=16, **kw)
+    x, _ = synthetic_data(n=32, num_sparse=5, vocab=50)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    p_ref, _, _ = m_ref.apply(params, state, batch)
+    p_fused, _, _ = m_fused.apply(params, state, batch)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_satrans_fused_grads_match_unfused():
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import losses
+
+    cols = synthetic_columns(num_sparse=4, vocab=40, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    kw = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+              domain_att_layer_num=1, att_head_num=4,
+              meta_dnn_hidden_units=(64, 32), dropout_rate=0.0)
+    m_ref = SATrans(use_fused_kernel=False, **kw)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                      fused_block_b=16, **kw)
+    x, y = synthetic_data(n=32, num_sparse=4, vocab=40)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    yb = jnp.asarray(y)
+
+    def loss(m):
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    g_ref = loss(m_ref)
+    g_fused = loss(m_fused)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        b = g_fused
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4,
+                                   err_msg=str(path))

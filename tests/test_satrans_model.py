@@ -26,7 +26,9 @@ def _make(num_sparse=5, vocab=50, dim=8, num_domains=3, **kw):
 def test_init_shapes():
     layout, model = _make()
     params, state = model.init(jax.random.PRNGKey(0))
-    assert params["emb"]["bank"].shape == (layout.total_rows, 8)
+    rp = 128 // 8
+    rows = -(-layout.total_rows // rp) * rp
+    assert params["emb"]["bank"].shape == (rows // rp, 128)
     # meta units [8,16,8] -> P = 8*16+16*8 = 256
     assert params["encoder"]["layers"][0]["w"].shape == (8, 256)
     assert params["domain_emb"].shape == (3 + 1, 8)
@@ -103,3 +105,19 @@ def test_multi_domain_cols_forward():
     params, state = model.init(jax.random.PRNGKey(4))
     pred, _, _ = model.apply(params, state, batch)
     assert pred.shape == (16,)
+
+
+def test_bfloat16_compute_close_to_fp32():
+    """bf16 stack: predictions close; model still learns."""
+    layout, m32 = _make()
+    _, m16 = _make()
+    m16.compute_dtype = "bfloat16"
+    x, y = synthetic_data(n=512, num_sparse=5, vocab=50)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m32.init(jax.random.PRNGKey(0))
+    p32, _, _ = m32.apply(params, state, batch)
+    p16, _, _ = m16.apply(params, state, batch)
+    # same params: outputs agree to bf16 tolerance
+    np.testing.assert_allclose(np.asarray(p32), np.asarray(p16), atol=0.03)
+    corr = np.corrcoef(np.asarray(p32), np.asarray(p16))[0, 1]
+    assert corr > 0.99
