@@ -308,9 +308,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
     do3 = do2.reshape(TB, F_, d)
 
-    dqn = jnp.zeros((TB, F_, d), F32)
-    dkn = jnp.zeros((TB, F_, d), F32)
-    dv3 = jnp.zeros((TB, F_, d), F32)
+    dqn_parts, dkn_parts, dv_parts = [], [], []
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
         do_h = do3[..., sl]
@@ -326,8 +324,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         dvh = jnp.zeros((TB, F_, dh), F32)
         for i in range(F_):
             dvh = dvh + sm[:, i, :][:, :, None] * do_h[:, i, :][:, None, :]
-        dv3 = dv3.at[..., sl].set(dvh) if False else \
-            jax.lax.dynamic_update_slice_in_dim(dv3, dvh, hd * dh, axis=2)
+        dv_parts.append(dvh)
         ds = ds_used * m_s[hd] if use_drop else ds_used
         da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
         da = da * scale
@@ -339,8 +336,11 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
             dqh = dqh + da[:, :, j][:, :, None] * kh[:, j, :][:, None, :]
         for i in range(F_):
             dkh = dkh + da[:, i, :][:, :, None] * qh[:, i, :][:, None, :]
-        dqn = jax.lax.dynamic_update_slice_in_dim(dqn, dqh, hd * dh, axis=2)
-        dkn = jax.lax.dynamic_update_slice_in_dim(dkn, dkh, hd * dh, axis=2)
+        dqn_parts.append(dqh)
+        dkn_parts.append(dkh)
+    dqn = jnp.concatenate(dqn_parts, axis=-1)
+    dkn = jnp.concatenate(dkn_parts, axis=-1)
+    dv3 = jnp.concatenate(dv_parts, axis=-1)
 
     # meta/LN backward for Q and K paths (shared LN + shared meta weights)
     w1cat_T = jnp.concatenate(
