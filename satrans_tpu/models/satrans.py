@@ -230,12 +230,18 @@ class SATrans:
                 if x.shape[0] % cand == 0:
                     blk = cand
                     break
+            # Auto mode additionally requires SATRANS_FUSED=1: the kernel is
+            # interpret-verified and Mosaic-lowerable, but some remote/AOT
+            # TPU compile services take unboundedly long on it, so opting in
+            # is explicit.  (jax.default_backend() is static under trace.)
+            import os
             auto_ok = (single_col and self.variant == "metanet"
                        and self.meta_mode == "QK" and not self.use_pos
                        and not self.relu_out and not return_scores
                        and blk is not None
                        and cdtype == jnp.float32
-                       and jax.default_backend() == "tpu")
+                       and jax.default_backend() == "tpu"
+                       and os.environ.get("SATRANS_FUSED") == "1")
             fused = auto_ok if fused is None else (fused and blk is not None
                                                    and single_col
                                                    and not return_scores)

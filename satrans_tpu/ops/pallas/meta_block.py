@@ -67,16 +67,40 @@ def _dropout_mask(shape, rate: float):
     return (bits >= threshold).astype(F32) / (1.0 - rate)
 
 
+def _expand_const(D: int, block: int):
+    """[D, D*block] 0/1 matrix: row d is 1 on its block of columns.
+    Mosaic-friendly alternative to lane-splitting reshapes."""
+    dd = jax.lax.broadcasted_iota(jnp.int32, (D, D * block), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (D, D * block), 1)
+    return (jj // block == dd).astype(F32)
+
+
+def _fold_const(D: int, block: int):
+    """[D*block, block] 0/1 matrix summing same-offset lanes across blocks."""
+    jj = jax.lax.broadcasted_iota(jnp.int32, (D * block, block), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (D * block, block), 1)
+    return (jj % block == cc).astype(F32)
+
+
+def _block_select(wide, onehot_rows, D: int, block: int):
+    """Select each row's domain block from ``wide [N, D*block] -> [N, block]``
+    via constant-matrix matmuls (no lane-split reshape, which Mosaic cannot
+    lower)."""
+    mask = jnp.dot(onehot_rows, _expand_const(D, block),
+                   preferred_element_type=F32)           # [N, D*block]
+    return jnp.dot(wide * mask, _fold_const(D, block),
+                   preferred_element_type=F32)           # [N, block]
+
+
 def _meta_apply(t0, w1cat, w2cat, onehot_rows, D: int, h: int, d: int):
     """relu(t0 @ W1[dom]) @ W2[dom] via all-domain wide GEMMs + select.
 
     t0: [N, d]; w1cat: [d, D*h]; w2cat: [h, D*d]; onehot_rows: [N, D].
     """
-    n = t0.shape[0]
     H = jax.nn.relu(jnp.dot(t0, w1cat, preferred_element_type=F32))  # [N,D*h]
-    Hsel = jnp.sum(H.reshape(n, D, h) * onehot_rows[:, :, None], axis=1)
+    Hsel = _block_select(H, onehot_rows, D, h)
     Y = jnp.dot(Hsel, w2cat, preferred_element_type=F32)             # [N,D*d]
-    Ysel = jnp.sum(Y.reshape(n, D, d) * onehot_rows[:, :, None], axis=1)
+    Ysel = _block_select(Y, onehot_rows, D, d)
     return Ysel, Hsel
 
 
@@ -93,19 +117,15 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
         qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
-        # scores via channel outer products: [TB, F, F]
-        s = jnp.zeros(q.shape[:1] + (F_, F_), F32)
-        for c in range(dh):
-            s = s + qh[:, :, c][:, :, None] * kh[:, :, c][:, None, :]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=F32)   # [TB, F, F]
         s = s * scale
         s = jax.nn.softmax(s, axis=-1)
         if train and drop_rate > 0.0:
             s = s * _dropout_mask(s.shape, drop_rate)
         s_keep.append(s)
-        # o = s @ v via j-accumulation: [TB, F, dh]
-        o = jnp.zeros(q.shape[:1] + (F_, dh), F32)
-        for j in range(F_):
-            o = o + s[:, :, j][:, :, None] * vh[:, j, :][:, None, :]
+        o = jax.lax.dot_general(s, vh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=F32)   # [TB, F, dh]
         outs.append(o)
     return jnp.concatenate(outs, axis=-1), s_keep
 
@@ -119,7 +139,9 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     x = x_ref[:].astype(F32)
     x2 = x.reshape(TB * F_, d)
     onehot = dom_ref[:]                                   # [TB, D]
-    onehot_rows = jnp.repeat(onehot, F_, axis=0)          # [TB*F, D]
+    onehot_rows = jnp.broadcast_to(onehot[:, None, :],
+                                   (TB, F_, onehot.shape[1])
+                                   ).reshape(TB * F_, onehot.shape[1])
 
     qkv = jnp.dot(x2, wqkv_ref[:], preferred_element_type=F32)  # [N, 3d]
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
@@ -240,7 +262,9 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     x = x_ref[:].astype(F32)
     x2 = x.reshape(N, d)
     onehot = dom_ref[:]
-    onehot_rows = jnp.repeat(onehot, F_, axis=0)
+    onehot_rows = jnp.broadcast_to(onehot[:, None, :],
+                                   (TB, F_, onehot.shape[1])
+                                   ).reshape(N, onehot.shape[1])
     w1cat = w1cat_ref[:]
     w2cat = w2cat_ref[:]
     wqkv = wqkv_ref[:]
@@ -251,11 +275,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
     def meta_fwd(t0):
-        H = jax.nn.relu(jnp.dot(t0, w1cat, preferred_element_type=F32))
-        Hsel = jnp.sum(H.reshape(N, D, h) * onehot_rows[:, :, None], axis=1)
-        Y = jnp.dot(Hsel, w2cat, preferred_element_type=F32)
-        Ysel = jnp.sum(Y.reshape(N, D, d) * onehot_rows[:, :, None], axis=1)
-        return Ysel, Hsel
+        return _meta_apply(t0, w1cat, w2cat, onehot_rows, D, h, d)
 
     yq, hq = meta_fwd(q0)
     if use_drop:
@@ -275,16 +295,14 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
         qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
-        s = jnp.zeros((TB, F_, F_), F32)
-        for c in range(dh):
-            s = s + qh[:, :, c][:, :, None] * kh[:, :, c][:, None, :]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=F32)
         s = jax.nn.softmax(s * scale, axis=-1)
         s_list.append(s)
         sm = s * m_s[hd] if use_drop else s
         sm_list.append(sm)
-        o = jnp.zeros((TB, F_, dh), F32)
-        for j in range(F_):
-            o = o + sm[:, :, j][:, :, None] * vh[:, j, :][:, None, :]
+        o = jax.lax.dot_general(sm, vh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=F32)
         o_parts.append(o)
     o3 = jnp.concatenate(o_parts, axis=-1)
     o2 = o3.reshape(N, d)
@@ -316,26 +334,20 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         s = s_list[hd]
         sm = sm_list[hd]
         # dS_used[b,i,j] = sum_c do[b,i,c] v[b,j,c]
-        ds_used = jnp.zeros((TB, F_, F_), F32)
-        for c in range(dh):
-            ds_used = ds_used + do_h[:, :, c][:, :, None] \
-                * vh[:, :, c][:, None, :]
+        ds_used = jax.lax.dot_general(do_h, vh, (((2,), (2,)), ((0,), (0,))),
+                                      preferred_element_type=F32)
         # dV_h[b,j,c] = sum_i sm[b,i,j] do[b,i,c]
-        dvh = jnp.zeros((TB, F_, dh), F32)
-        for i in range(F_):
-            dvh = dvh + sm[:, i, :][:, :, None] * do_h[:, i, :][:, None, :]
+        dvh = jax.lax.dot_general(sm, do_h, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
         dv_parts.append(dvh)
         ds = ds_used * m_s[hd] if use_drop else ds_used
         da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
         da = da * scale
         qh, kh = q3[..., sl], k3[..., sl]
-        # dQ_h[b,i,c] = sum_j da[b,i,j] k[b,j,c]
-        dqh = jnp.zeros((TB, F_, dh), F32)
-        dkh = jnp.zeros((TB, F_, dh), F32)
-        for j in range(F_):
-            dqh = dqh + da[:, :, j][:, :, None] * kh[:, j, :][:, None, :]
-        for i in range(F_):
-            dkh = dkh + da[:, i, :][:, :, None] * qh[:, i, :][:, None, :]
+        dqh = jax.lax.dot_general(da, kh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
+        dkh = jax.lax.dot_general(da, qh, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
         dqn_parts.append(dqh)
         dkn_parts.append(dkh)
     dqn = jnp.concatenate(dqn_parts, axis=-1)
@@ -358,7 +370,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         dt0 = duq  # residual branch
         # dHsel = select_d(dy @ w2_d^T)
         A = jnp.dot(dy, w2cat_T, preferred_element_type=F32)  # [N, D*h]
-        dhsel = jnp.sum(A.reshape(N, D, h) * onehot_rows[:, :, None], axis=1)
+        dhsel = _block_select(A, onehot_rows, D, h)
         relu_mask = (hsel > 0).astype(F32)
         dhrelu = dhsel * relu_mask
         # dW2_d = Hsel_d^T dy ; dW1_d = t0_d^T dHrelu  (masked rows)
@@ -374,8 +386,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         dw1c = jnp.concatenate(dw1_parts, axis=1)   # [d, D*h]
         # dt0 += select_d(dHrelu @ w1_d^T)
         Bm = jnp.dot(dhrelu, w1cat_T, preferred_element_type=F32)  # [N, D*d]
-        dt0 = dt0 + jnp.sum(Bm.reshape(N, D, d) * onehot_rows[:, :, None],
-                            axis=1)
+        dt0 = dt0 + _block_select(Bm, onehot_rows, D, d)
         return dt0, dw1c, dw2c, dls, dlb
 
     dq0, dw1c_q, dw2c_q, dls_q, dlb_q = meta_bwd(

@@ -251,7 +251,9 @@ class Trainer:
     def fit(self, x: dict, y, *, batch_size: int = 256, epochs: int = 1,
             validation_data=None, valid_cnt_per_epoch: int = 1,
             shuffle: bool = True, verbose: int = 1, callbacks=None,
-            steps_per_epoch: int | None = None, scan_steps: int = 1):
+            steps_per_epoch: int | None = None, scan_steps: int = 1,
+            checkpoint_path: str | None = None,
+            checkpoint_every: int | None = None, resume: bool = False):
         """Train; mirrors reference fit semantics (meta_basemodel.py:200-385).
 
         ``x``: {feature name: np column}; ``y``: np labels.
@@ -267,6 +269,16 @@ class Trainer:
         self._strategy = self._resolve_strategy(x)
         self._ensure_initialized()
         self._build_steps()
+
+        # crash recovery: resume from the latest periodic checkpoint
+        # (new capability - the reference has no load path, SURVEY.md section 5)
+        if resume and checkpoint_path is not None:
+            import os
+            from . import checkpoint as ckpt_lib
+            if os.path.exists(checkpoint_path):
+                ckpt_lib.restore(checkpoint_path, self)
+                if verbose:
+                    print(f"resumed from {checkpoint_path}")
 
         data = self.layout.batch_from_dict(x)
         labels = np.asarray(y, dtype=np.float32).reshape(-1)
@@ -341,6 +353,10 @@ class Trainer:
                           f"reg {float(s['reg_loss']) / denom:.6f}",
                           end="", flush=True)
                 callback_list.on_batch_end(step, {"loss": stats["loss"]})
+                if (checkpoint_path is not None and checkpoint_every
+                        and step % checkpoint_every < scan_steps):
+                    from . import checkpoint as ckpt_lib
+                    ckpt_lib.save(checkpoint_path, self)
                 if (validation_data is not None and valid_cnt_per_epoch > 1
                         and step % steps_to_valid < scan_steps):
                     r = self.evaluate(*validation_data, batch_size=batch_size * 4)

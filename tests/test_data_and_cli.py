@@ -188,3 +188,32 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(pred1, pred2, atol=1e-6)
     # resume training continues without error
     tr2.fit(x, y, batch_size=128, epochs=1, verbose=0)
+
+
+def test_periodic_checkpoint_and_resume(tmp_path):
+    """Crash-recovery: periodic in-epoch checkpoints + resume restores state."""
+    import jax
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import DeepFM
+    from satrans_tpu.train import Trainer
+
+    cols = synthetic_columns(num_sparse=4, vocab=30, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=800, num_sparse=4, vocab=30)
+    ckpt = str(tmp_path / "periodic")
+
+    tr = Trainer(DeepFM(layout=layout), seed=0)
+    tr.compile(learning_rate=0.01)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0,
+           checkpoint_path=ckpt, checkpoint_every=2)
+    pred1 = tr.predict(x, batch_size=128)
+
+    # a "crashed" trainer resumes from the periodic checkpoint
+    tr2 = Trainer(DeepFM(layout=layout), seed=99)
+    tr2.compile(learning_rate=0.01)
+    tr2.fit(x, y, batch_size=128, epochs=1, verbose=0, shuffle=False,
+            steps_per_epoch=1, checkpoint_path=ckpt, resume=True)
+    # it trained 1 more step from the checkpoint - params finite & usable
+    pred2 = tr2.predict(x, batch_size=128)
+    assert np.isfinite(pred2).all()

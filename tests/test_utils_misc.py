@@ -69,3 +69,12 @@ def test_time_fn_runs():
     f = jax.jit(lambda x: x * 2 + 1)
     dt = profiling.time_fn(f, jnp.ones(128), iters=3, warmup=1)
     assert dt > 0
+
+
+def test_kernel_bench_smoke():
+    """Kernel microbench harness runs end-to-end (tiny sizes, CPU)."""
+    from satrans_tpu.bench import kernels
+    out = kernels.run(batch=64, fields=5, dim=8, vocab_rows=1024, heads=2)
+    assert "embedding_gather" in out and "scoring" in out
+    for r in out.values():
+        assert r["seconds"] > 0
