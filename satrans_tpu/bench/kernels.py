@@ -74,8 +74,11 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
                                   + 2 * fields * d + d * d)
     results["interaction_attention_xla"] = profiling.roofline(dt, flops=flops)
 
-    # fused pallas layer (TPU only)
-    if jax.default_backend() == "tpu":
+    # fused pallas layer (TPU only; SATRANS_FUSED=1 opt-in - some AOT
+    # compile services take unboundedly long on the kernel)
+    import os
+    if jax.default_backend() == "tpu" and \
+            os.environ.get("SATRANS_FUSED") == "1":
         from ..ops.pallas import meta_block
         onehot = jax.nn.one_hot(dom, 4)
         fused = jax.jit(lambda p, x: meta_block.fused_meta_layer_vjp(
