@@ -104,14 +104,24 @@ def _meta_apply(t0, w1cat, w2cat, onehot_rows, D: int, h: int, d: int):
     return Ysel, Hsel
 
 
+def _pad_mask(TB: int, F_: int, f_real: int):
+    """[TB, F, F] additive mask: -inf on padded key columns (j >= f_real)."""
+    if f_real == F_:
+        return None
+    col = jax.lax.broadcasted_iota(jnp.int32, (TB, F_, F_), 2)
+    return jnp.where(col < f_real, 0.0, -1e30).astype(F32)
+
+
 def _attention(q, k, v, head_num: int, F_: int, d: int, *,
-               drop_rate: float, train: bool):
-    """VPU-formulated multi-head attention for tiny F.
+               drop_rate: float, train: bool, f_real: int | None = None):
+    """MXU multi-head attention for tiny F (batched dot_general).
 
     q,k,v: [TB, F, d].  Returns (o [TB, F, d], s_all [TB, H, F, F]).
+    ``f_real`` masks padded key columns when F was padded for tiling.
     """
     dh = d // head_num
     scale = 1.0 / math.sqrt(dh)
+    mask = _pad_mask(q.shape[0], F_, f_real if f_real is not None else F_)
     outs = []
     s_keep = []
     for hd in range(head_num):
@@ -120,6 +130,8 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)   # [TB, F, F]
         s = s * scale
+        if mask is not None:
+            s = s + mask
         s = jax.nn.softmax(s, axis=-1)
         if train and drop_rate > 0.0:
             s = s * _dropout_mask(s.shape, drop_rate)
@@ -132,7 +144,8 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
 
 def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
                 lnq_ref, wout_ref, lno_ref, out_ref, *,
-                D: int, h: int, head_num: int, drop_rate: float, train: bool):
+                D: int, h: int, head_num: int, drop_rate: float, train: bool,
+                f_real: int | None = None):
     TB, F_, d = x_ref.shape
     if train and drop_rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -158,7 +171,7 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
     o, _ = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
                       v0.reshape(TB, F_, d), head_num, F_, d,
-                      drop_rate=drop_rate, train=train)
+                      drop_rate=drop_rate, train=train, f_real=f_real)
     z = jnp.dot(o.reshape(TB * F_, d), wout_ref[:],
                 preferred_element_type=F32)
     if train and drop_rate > 0.0:
@@ -243,7 +256,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
                 lnq_ref, wout_ref, lno_ref, g_ref,
                 dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
                 dwout_ref, dlno_ref, *,
-                D: int, h: int, head_num: int, drop_rate: float, train: bool):
+                D: int, h: int, head_num: int, drop_rate: float, train: bool,
+                f_real: int | None = None):
     TB, F_, d = x_ref.shape
     N = TB * F_
     dh = d // head_num
@@ -292,12 +306,16 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
     s_list, sm_list = [], []
     o_parts = []
+    pad_mask = _pad_mask(TB, F_, f_real if f_real is not None else F_)
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
         qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)
-        s = jax.nn.softmax(s * scale, axis=-1)
+        s = s * scale
+        if pad_mask is not None:
+            s = s + pad_mask
+        s = jax.nn.softmax(s, axis=-1)
         s_list.append(s)
         sm = s * m_s[hd] if use_drop else s
         sm_list.append(sm)
@@ -429,9 +447,10 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
 def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
     B, F_, d = x.shape
-    D, h, head_num, drop_rate, train, block_b, interpret = cfg
+    D, h, head_num, drop_rate, train, block_b, interpret, f_real = cfg
     kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
-                               drop_rate=drop_rate, train=train)
+                               drop_rate=drop_rate, train=train,
+                               f_real=f_real)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -456,9 +475,10 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
 
 def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
     B, F_, d = x.shape
-    D, h, head_num, drop_rate, train, block_b, interpret = cfg
+    D, h, head_num, drop_rate, train, block_b, interpret, f_real = cfg
     kernel = functools.partial(_bwd_kernel, D=D, h=h, head_num=head_num,
-                               drop_rate=drop_rate, train=train)
+                               drop_rate=drop_rate, train=train,
+                               f_real=f_real)
     out_shapes = (
         jax.ShapeDtypeStruct((B, F_, d), x.dtype),        # dx
         jax.ShapeDtypeStruct((d, 3 * d), F32),            # dwqkv
@@ -543,8 +563,16 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
         "ln", {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))})
     lnq = jnp.stack([lnq_p["scale"], lnq_p["bias"]])
     lno = jnp.stack([layer_params["ln"]["scale"], layer_params["ln"]["bias"]])
-    cfg = (D, h, head_num, drop_rate, train, block_b, interpret)
+    # pad the field axis to a sublane multiple - odd F (19) provokes very
+    # slow Mosaic relayout codegen; padded key columns are softmax-masked.
+    f_real = F_
+    pad_f = (-F_) % 8
+    if pad_f:
+        x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
+    cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
+           f_real if pad_f else None)
     seed_arr = jnp.asarray([seed], jnp.int32)
-    return _fused_layer(x, wqkv, w1cat, w2cat, lnq,
-                        layer_params["wout"], lno,
-                        domain_onehot.astype(F32), seed_arr, cfg)
+    y = _fused_layer(x, wqkv, w1cat, w2cat, lnq,
+                     layer_params["wout"], lno,
+                     domain_onehot.astype(F32), seed_arr, cfg)
+    return y[:, :f_real] if pad_f else y
