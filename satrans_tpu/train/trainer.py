@@ -385,6 +385,42 @@ class Trainer:
         return self.history
 
     # ------------------------------------------------------------------
+    def fit_from_iterator(self, iterator_factory, *, epochs: int = 1,
+                          domain_offset: int | None = None,
+                          verbose: int = 1):
+        """Multi-host / streaming training: each host feeds its shard.
+
+        ``iterator_factory(epoch) -> iterable of (batch_np, y, w)`` - e.g.
+        ``data.loader.ShardedBatchIterator(...).epoch`` with background
+        prefetch via ``data.loader.Prefetcher``.  The reference has no
+        equivalent (its DataLoader is single-host, basemodel.py:278).
+        """
+        if domain_offset is not None and hasattr(self.model,
+                                                 "set_domain_offset"):
+            self.model.set_domain_offset(domain_offset)
+        self._strategy = self._resolve_strategy(None)
+        self._ensure_initialized()
+        self._build_steps()
+        step_rng = jax.random.PRNGKey(self.seed + 1)
+        for epoch in range(epochs):
+            t0 = time.time()
+            acc = None
+            seen = 0
+            for batch_np, yb, wb in iterator_factory(epoch):
+                seen += int(np.sum(wb > 0))  # host-side, before transfer
+                batch, yb, wb = self._device_batch(batch_np, yb, wb)
+                step_rng, sub = jax.random.split(step_rng)
+                self.params, self.opt_state, self.state, stats = \
+                    self._train_step(self.params, self.opt_state, self.state,
+                                     batch, yb, wb, sub)
+                acc = stats if acc is None else jax.tree.map(jnp.add, acc,
+                                                             stats)
+            if verbose and acc is not None:
+                a = jax.device_get(acc)
+                print(f"Epoch {epoch + 1}/{epochs} - {int(time.time()-t0)}s "
+                      f"- loss: {float(a['loss']) / max(seen, 1):.4f}")
+        return self.history
+
     def predict(self, x: dict, batch_size: int = 256) -> np.ndarray:
         """Inference over a feature dict -> float64 scores [N]
         (reference predict, meta_basemodel.py:401-517)."""

@@ -101,3 +101,27 @@ def test_scan_steps_equivalent_to_loop():
         return tr.predict(x, batch_size=128)
 
     np.testing.assert_allclose(run(1), run(4), atol=2e-6)
+
+
+def test_fit_from_iterator_with_prefetch():
+    """Streaming fit: host-sharded iterator + background prefetch."""
+    from satrans_tpu.data import loader
+
+    cols = synthetic_columns(num_sparse=4, vocab=32, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=600, num_sparse=4, vocab=32, seed=5)
+    data = layout.batch_from_dict(x)
+    labels = np.asarray(y, np.float32)
+
+    model = DeepFM(layout=layout)
+    tr = Trainer(model, seed=0)
+    tr.compile(learning_rate=0.02)
+
+    it = loader.ShardedBatchIterator(data, labels, batch_size=128, seed=1)
+
+    def factory(epoch):
+        return loader.Prefetcher(it.epoch(epoch), depth=2)
+
+    tr.fit_from_iterator(factory, epochs=5, verbose=0)
+    auc = metrics.auc(y, tr.predict(x, batch_size=128))
+    assert auc > 0.6, auc
