@@ -181,14 +181,6 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _pack(params, meta_units, dtype=F32):
-    """Pack layer params into the kernel's concatenated forms."""
-    d, h = meta_units[0], meta_units[1]
-    wqkv = jnp.concatenate([params["wq"], params["wk"], params["wv"]],
-                           axis=1).astype(dtype)
-    return wqkv
-
-
 def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
                      meta_units, head_num: int, drop_rate: float = 0.1,
                      train: bool = False, seed: int = 0,

@@ -28,7 +28,7 @@ TPU-native design points (vs. the reference hot loop, SURVEY.md section 3.1):
 from __future__ import annotations
 
 import time
-from typing import Any, Sequence
+from typing import Sequence
 
 import numpy as np
 
