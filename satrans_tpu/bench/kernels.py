@@ -74,16 +74,15 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
                                   + 2 * fields * d + d * d)
     results["interaction_attention_xla"] = profiling.roofline(dt, flops=flops)
 
-    # fused pallas layer (TPU only; SATRANS_FUSED=1 opt-in - some AOT
-    # compile services take unboundedly long on the kernel)
+    # fused pallas layer (TPU only; SATRANS_FUSED=0 disables)
     import os
     if jax.default_backend() == "tpu" and \
-            os.environ.get("SATRANS_FUSED") == "1":
+            os.environ.get("SATRANS_FUSED", "1") != "0":
         from ..ops.pallas import meta_block
         onehot = jax.nn.one_hot(dom, 4)
         fused = jax.jit(lambda p, x: meta_block.fused_meta_layer_vjp(
             x, p, tables, onehot, meta_units=units, head_num=heads,
-            train=False, block_b=256))
+            train=False, block_b=128))
         dt = profiling.time_fn(fused, params, x, iters=20)
         results["interaction_attention_fused"] = profiling.roofline(
             dt, flops=flops)

@@ -81,7 +81,7 @@ class SATrans:
     # None = auto (on for the QK/metanet/single-column sota shape on TPU),
     # True/False forces. Falls back transparently when unsupported.
     use_fused_kernel: bool | None = None
-    fused_block_b: int = 256
+    fused_block_b: int = 128
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     def __post_init__(self):
@@ -230,10 +230,8 @@ class SATrans:
                 if x.shape[0] % cand == 0:
                     blk = cand
                     break
-            # Auto mode additionally requires SATRANS_FUSED=1: the kernel is
-            # interpret-verified and Mosaic-lowerable, but some remote/AOT
-            # TPU compile services take unboundedly long on it, so opting in
-            # is explicit.  (jax.default_backend() is static under trace.)
+            # (SATRANS_FUSED=0 disables; jax.default_backend() is static
+            # under trace.)
             import os
             auto_ok = (single_col and self.variant == "metanet"
                        and self.meta_mode == "QK" and not self.use_pos
@@ -241,7 +239,7 @@ class SATrans:
                        and blk is not None
                        and cdtype == jnp.float32
                        and jax.default_backend() == "tpu"
-                       and os.environ.get("SATRANS_FUSED") == "1")
+                       and os.environ.get("SATRANS_FUSED", "1") != "0")
             fused = auto_ok if fused is None else (fused and blk is not None
                                                    and single_col
                                                    and not return_scores)

@@ -184,7 +184,7 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
                      meta_units, head_num: int, drop_rate: float = 0.1,
                      train: bool = False, seed: int = 0,
-                     block_b: int = 256, interpret: bool = False):
+                     block_b: int = 128, interpret: bool = False):
     """Forward of one meta-transformer layer (QK mode, dense-select).
 
     x: [B, F, d] fp32; layer_params: dict from attention.meta_transformer_init
@@ -235,6 +235,8 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
             out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1cat, w2cat, lnq,
       layer_params["wout"], lno)
@@ -461,6 +463,8 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
             out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno)
 
@@ -507,6 +511,8 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
             ),
         ),
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, g)
 
@@ -535,7 +541,7 @@ _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                          meta_units, head_num: int, drop_rate: float = 0.1,
                          train: bool = False, seed: int = 0,
-                         block_b: int = 256, interpret: bool = False):
+                         block_b: int = 128, interpret: bool = False):
     """Differentiable fused layer.  The packing (concats/reshapes) happens
     outside the custom-vjp boundary so XLA autodiffs it, routing gradients
     back to the original parameter structure including the per-domain flat
