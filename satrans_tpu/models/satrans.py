@@ -217,12 +217,6 @@ class SATrans:
         else:
             tables = self._meta_params_per_example(p, batch)
             dom = None
-        if cdtype != jnp.float32:
-            x = x.astype(cdtype)
-            tables = jax.tree.map(lambda t: t.astype(cdtype), tables)
-            p = dict(p)
-            p["layers"] = jax.tree.map(lambda t: t.astype(cdtype), p["layers"])
-
         fused = self.use_fused_kernel
         blk = None
         if fused is None or fused:
@@ -233,19 +227,25 @@ class SATrans:
             # (SATRANS_FUSED=0 disables; jax.default_backend() is static
             # under trace.)
             import os
+            # bf16 is fine through the fused path: the kernel computes in
+            # f32 internally; only the layer-boundary tensors narrow.
             auto_ok = (single_col and self.variant == "metanet"
                        and self.meta_mode == "QK" and not self.use_pos
                        and not self.relu_out and not return_scores
                        and blk is not None
-                       and cdtype == jnp.float32
+                       and cdtype in (jnp.float32, jnp.bfloat16)
                        and jax.default_backend() == "tpu"
                        and os.environ.get("SATRANS_FUSED", "1") != "0")
             fused = auto_ok if fused is None else (fused and blk is not None
                                                    and single_col
                                                    and not return_scores)
         if fused:
+            # weights stay f32 (the kernel computes in f32); only the
+            # layer-boundary activations narrow under bf16 compute.
             from ..ops.pallas import meta_block
-            onehot = jax.nn.one_hot(dom, self.num_domains + 1, dtype=x.dtype)
+            x = x.astype(cdtype)
+            onehot = jax.nn.one_hot(dom, self.num_domains + 1,
+                                    dtype=jnp.float32)
             for i, layer_p in enumerate(p["layers"]):
                 seed = jax.random.randint(jax.random.fold_in(rng, i), (),
                                           0, 2 ** 31 - 1, dtype=jnp.int32)
@@ -260,6 +260,12 @@ class SATrans:
             logit = core.linear_apply(params["head"], flat)
             pred = core.prediction(logit, self.task)[:, 0]
             return pred, state, jnp.asarray(0.0)
+
+        if cdtype != jnp.float32:
+            x = x.astype(cdtype)
+            tables = jax.tree.map(lambda t: t.astype(cdtype), tables)
+            p = dict(p)
+            p["layers"] = jax.tree.map(lambda t: t.astype(cdtype), p["layers"])
 
         all_scores = []
         for i, layer_p in enumerate(p["layers"]):
