@@ -73,3 +73,17 @@ def get_memory_info():
                 "percent": info.percent}
     except ImportError:
         return {}
+
+
+def cal_ctr(data: dict, label_col: str = "click", max_unique: int = 20):
+    """Per-column CTR spread: std of mean(label) over the column's values
+    for low-cardinality columns (reference utils.py:13-19 ``cal_ctr``).
+    Returns {column: std}."""
+    import pandas as pd
+
+    df = pd.DataFrame(data)
+    out = {}
+    for col in df.columns:
+        if col != label_col and df[col].nunique() < max_unique:
+            out[col] = float(df.groupby(col)[label_col].mean().std())
+    return out

@@ -172,3 +172,29 @@ def test_mtl_engine_trains_and_routes():
     pred = tr.predict(x, batch_size=512)
     assert pred.shape == (2000,)  # routed to scalar per sample
     assert metrics.auc(y, pred) > 0.6
+
+
+def test_deepfm_ablation_flags():
+    """nofm / nodnn change the forward (reference deepfm.py:95, 100)."""
+    layout, x, y = _data(n=64)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    # larger init so the DNN branch contributes visibly at init
+    base = DeepFM(layout=layout, init_std=0.1)
+    params, state = base.init(jax.random.PRNGKey(0))
+    p0, _, _ = base.apply(params, state, batch)
+    p_nofm, _, _ = DeepFM(layout=layout, init_std=0.1, flag="nofm").apply(
+        params, state, batch)
+    p_nodnn, _, _ = DeepFM(layout=layout, init_std=0.1, flag="nodnn").apply(
+        params, state, batch)
+    assert not np.allclose(np.asarray(p0), np.asarray(p_nofm))
+    assert not np.allclose(np.asarray(p0), np.asarray(p_nodnn))
+
+
+def test_cal_ctr_util():
+    from satrans_tpu.utils import cal_ctr
+    rng = np.random.default_rng(0)
+    data = {"click": rng.integers(0, 2, 500),
+            "dom": rng.integers(0, 3, 500),
+            "wide": rng.integers(0, 100, 500)}
+    out = cal_ctr(data)
+    assert "dom" in out and "wide" not in out
