@@ -431,15 +431,20 @@ class Trainer:
             self._build_steps()
         data = self.layout.batch_from_dict(x)
         n = len(next(iter(data.values())))
-        preds = []
+        outs = []
+        sizes = []
         for start in range(0, n, batch_size):
             idx = slice(start, min(start + batch_size, n))
-            bsz = idx.stop - idx.start
+            sizes.append(idx.stop - idx.start)
             batch_np = {k: self._pad(v[idx], batch_size) for k, v in data.items()}
             batch, _, _ = self._device_batch(batch_np)
-            out = self._eval_step(self.params, self.state, batch)
-            preds.append(np.asarray(jax.device_get(out))[:bsz])
-        return np.concatenate(preds).astype("float64")
+            # keep device arrays; async dispatch pipelines all batches and
+            # one bulk transfer at the end collects them (the reference syncs
+            # per batch, meta_basemodel.py:430-435)
+            outs.append(self._eval_step(self.params, self.state, batch))
+        host = jax.device_get(outs)
+        return np.concatenate(
+            [np.asarray(o)[:b] for o, b in zip(host, sizes)]).astype("float64")
 
     def evaluate(self, x: dict, y, batch_size: int = 256) -> dict[str, float]:
         pred = self.predict(x, batch_size)
