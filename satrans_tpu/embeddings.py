@@ -24,6 +24,8 @@ gradient dense in the embedding tables.  ``l2_loss`` reproduces that exactly.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -69,12 +71,51 @@ def bank_logical(params, d: int):
     return params["bank"].reshape(-1, d)
 
 
+@jax.custom_vjp
+def _gather_packed(bank, phys_ids):
+    return bank[phys_ids]
+
+
+def _gather_packed_fwd(bank, phys_ids):
+    return bank[phys_ids], (bank.shape, phys_ids)
+
+
+def _gather_packed_bwd(res, g):
+    """Combine-then-scatter embedding gradient.
+
+    XLA's generic scatter-add over 155k duplicate-laden indices measured
+    16.5 ms on v5e; sorting the ids, segment-summing duplicate rows and
+    issuing one sorted+unique scatter-add measured 13 ms - and tells the
+    compiler the fast story (indices_are_sorted + unique_indices).
+    """
+    bank_shape, phys_ids = res
+    n = int(np.prod(phys_ids.shape)) if phys_ids.shape else 1
+    ids = phys_ids.reshape(n)
+    gf = g.reshape(n, bank_shape[1])
+    order = jnp.argsort(ids)
+    si = ids[order]
+    sg = jnp.take(gf, order, axis=0)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), si[1:] != si[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    summed = jax.ops.segment_sum(sg, seg, num_segments=n)
+    rep = jax.ops.segment_max(si, seg, num_segments=n)
+    count = seg[-1] + 1
+    valid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] < count
+    tgt = jnp.where(valid, rep, bank_shape[0])  # out-of-range rows drop
+    dbank = jnp.zeros(bank_shape, g.dtype).at[tgt].add(
+        summed, indices_are_sorted=True, unique_indices=True, mode="drop")
+    return dbank, np.zeros(phys_ids.shape, jax.dtypes.float0)
+
+
+_gather_packed.defvjp(_gather_packed_fwd, _gather_packed_bwd)
+
+
 def lookup_rows(params, ids, d: int):
     """Gather logical rows ``ids -> [..., d]`` through the packed layout."""
     rp = params["bank"].shape[1] // d
     if rp == 1:
-        return params["bank"][ids]
-    phys = params["bank"][ids // rp]                      # [..., rp*d]
+        return _gather_packed(params["bank"], ids)
+    phys = _gather_packed(params["bank"], ids // rp)      # [..., rp*d]
     oh = jax.nn.one_hot(ids % rp, rp, dtype=phys.dtype)   # [..., rp]
     return jnp.einsum("...f,...fd->...d", oh,
                       phys.reshape(*phys.shape[:-1], rp, d))
