@@ -104,42 +104,65 @@ def _meta_apply(t0, w1cat, w2cat, onehot_rows, D: int, h: int, d: int):
     return Ysel, Hsel
 
 
-def _pad_mask(TB: int, F_: int, f_real: int):
-    """[TB, F, F] additive mask: -inf on padded key columns (j >= f_real)."""
-    if f_real == F_:
-        return None
-    col = jax.lax.broadcasted_iota(jnp.int32, (TB, F_, F_), 2)
-    return jnp.where(col < f_real, 0.0, -1e30).astype(F32)
+def _attn_group(TB: int, F_: int) -> int:
+    """Examples packed per block-diagonal attention GEMM.
+
+    Per-example F x F attention maps to MXU ops of ~F x dh x F - tiny, and
+    Mosaic serializes the batch. Packing g examples gives [g*F, dh] x
+    [dh, g*F] GEMMs (one op instead of g); off-diagonal example-cross terms
+    are masked to -inf before the softmax, so they come out exactly 0 and
+    the S@V / backward contractions stay correct over the full matrix.
+    """
+    for g in (5, 4, 2, 1):
+        if TB % g == 0 and g * F_ <= 128:
+            return g
+    return 1
+
+
+def _block_mask(groups: int, g: int, F_: int, f_real: int):
+    """[groups, g*F, g*F] additive mask: -inf off own example block or on
+    padded key columns (j % F >= f_real)."""
+    n = g * F_
+    row = jax.lax.broadcasted_iota(jnp.int32, (groups, n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (groups, n, n), 2)
+    ok = (row // F_ == col // F_) & (col % F_ < f_real)
+    return jnp.where(ok, 0.0, -1e30).astype(F32)
 
 
 def _attention(q, k, v, head_num: int, F_: int, d: int, *,
                drop_rate: float, train: bool, f_real: int | None = None):
-    """MXU multi-head attention for tiny F (batched dot_general).
+    """Block-diagonal-packed multi-head attention for tiny F.
 
-    q,k,v: [TB, F, d].  Returns (o [TB, F, d], s_all [TB, H, F, F]).
-    ``f_real`` masks padded key columns when F was padded for tiling.
+    q,k,v: [TB, F, d].  Returns (o [TB, F, d], s_all per head
+    [TB//g, g*F, g*F] block-diagonal scores).
     """
+    TB = q.shape[0]
     dh = d // head_num
     scale = 1.0 / math.sqrt(dh)
-    mask = _pad_mask(q.shape[0], F_, f_real if f_real is not None else F_)
+    g = _attn_group(TB, F_)
+    groups = TB // g
+    n = g * F_
+    mask = _block_mask(groups, g, F_, f_real if f_real is not None else F_)
+    qg = q.reshape(groups, n, d)
+    kg = k.reshape(groups, n, d)
+    vg = v.reshape(groups, n, d)
     outs = []
     s_keep = []
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
-        qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
+        qh, kh, vh = qg[..., sl], kg[..., sl], vg[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=F32)   # [TB, F, F]
-        s = s * scale
-        if mask is not None:
-            s = s + mask
+                                preferred_element_type=F32)  # [G, n, n]
+        s = s * scale + mask
         s = jax.nn.softmax(s, axis=-1)
         if train and drop_rate > 0.0:
             s = s * _dropout_mask(s.shape, drop_rate)
         s_keep.append(s)
         o = jax.lax.dot_general(s, vh, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=F32)   # [TB, F, dh]
+                                preferred_element_type=F32)  # [G, n, dh]
         outs.append(o)
-    return jnp.concatenate(outs, axis=-1), s_keep
+    o = jnp.concatenate(outs, axis=-1).reshape(TB, F_, d)
+    return o, s_keep
 
 
 def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
@@ -263,8 +286,9 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         m_yq = _dropout_mask((N, d), drop_rate)
         m_yk = _dropout_mask((N, d), drop_rate)
-        m_s = [_dropout_mask((TB, F_, F_), drop_rate)
-               for _ in range(head_num)]
+        g_attn0 = _attn_group(TB, F_)
+        m_s = [_dropout_mask((TB // g_attn0, g_attn0 * F_, g_attn0 * F_),
+                             drop_rate) for _ in range(head_num)]
         m_z = _dropout_mask((N, d), drop_rate)
 
     x = x_ref[:].astype(F32)
@@ -294,21 +318,23 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         yk = yk * m_yk
     kn, xhat_k, inv_k = _layer_norm_fwd(yk + k0, lnq_ref[0], lnq_ref[1])
 
-    q3 = qn.reshape(TB, F_, d)
-    k3 = kn.reshape(TB, F_, d)
-    v3 = v0.reshape(TB, F_, d)
+    g_attn = _attn_group(TB, F_)
+    groups = TB // g_attn
+    n_attn = g_attn * F_
+    q3 = qn.reshape(groups, n_attn, d)
+    k3 = kn.reshape(groups, n_attn, d)
+    v3 = v0.reshape(groups, n_attn, d)
+    blk_mask = _block_mask(groups, g_attn, F_,
+                           f_real if f_real is not None else F_)
 
     s_list, sm_list = [], []
     o_parts = []
-    pad_mask = _pad_mask(TB, F_, f_real if f_real is not None else F_)
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
         qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)
-        s = s * scale
-        if pad_mask is not None:
-            s = s + pad_mask
+        s = s * scale + blk_mask
         s = jax.nn.softmax(s, axis=-1)
         s_list.append(s)
         sm = s * m_s[hd] if use_drop else s
@@ -316,7 +342,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         o = jax.lax.dot_general(sm, vh, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=F32)
         o_parts.append(o)
-    o3 = jnp.concatenate(o_parts, axis=-1)
+    o3 = jnp.concatenate(o_parts, axis=-1)   # [G, n, d]
     o2 = o3.reshape(N, d)
     z = jnp.dot(o2, wout, preferred_element_type=F32)
     if use_drop:
@@ -336,8 +362,10 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         dz = dz * m_z
     dwout = jnp.dot(o2.T, dz, preferred_element_type=F32)
     do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
-    do3 = do2.reshape(TB, F_, d)
+    do3 = do2.reshape(groups, n_attn, d)
 
+    # All grads stay on the grouped [G, n, *] shapes: S is exactly zero off
+    # the example-diagonal blocks, so full-matrix contractions are correct.
     dqn_parts, dkn_parts, dv_parts = [], [], []
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
@@ -345,10 +373,10 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         vh = v3[..., sl]
         s = s_list[hd]
         sm = sm_list[hd]
-        # dS_used[b,i,j] = sum_c do[b,i,c] v[b,j,c]
+        # dS_used[g,i,j] = sum_c do[g,i,c] v[g,j,c]
         ds_used = jax.lax.dot_general(do_h, vh, (((2,), (2,)), ((0,), (0,))),
                                       preferred_element_type=F32)
-        # dV_h[b,j,c] = sum_i sm[b,i,j] do[b,i,c]
+        # dV_h[g,j,c] = sum_i sm[g,i,j] do[g,i,c]
         dvh = jax.lax.dot_general(sm, do_h, (((1,), (1,)), ((0,), (0,))),
                                   preferred_element_type=F32)
         dv_parts.append(dvh)
@@ -362,8 +390,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
                                   preferred_element_type=F32)
         dqn_parts.append(dqh)
         dkn_parts.append(dkh)
-    dqn = jnp.concatenate(dqn_parts, axis=-1)
-    dkn = jnp.concatenate(dkn_parts, axis=-1)
+    dqn = jnp.concatenate(dqn_parts, axis=-1).reshape(TB, F_, d)
+    dkn = jnp.concatenate(dkn_parts, axis=-1).reshape(TB, F_, d)
     dv3 = jnp.concatenate(dv_parts, axis=-1)
 
     # meta/LN backward for Q and K paths (shared LN + shared meta weights)
