@@ -217,3 +217,30 @@ def test_periodic_checkpoint_and_resume(tmp_path):
     # it trained 1 more step from the checkpoint - params finite & usable
     pred2 = tr2.predict(x, batch_size=128)
     assert np.isfinite(pred2).all()
+
+
+def test_validation_and_early_stopping(capsys):
+    """Mid-epoch validation + History + EarlyStopping wiring."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import DeepFM
+    from satrans_tpu.train import Trainer
+    from satrans_tpu.train.callbacks import EarlyStopping
+
+    cols = synthetic_columns(num_sparse=4, vocab=30, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=1200, num_sparse=4, vocab=30)
+    xv = {k: v[1000:] for k, v in x.items()}
+    xt = {k: v[:1000] for k, v in x.items()}
+
+    tr = Trainer(DeepFM(layout=layout), seed=0)
+    tr.compile(learning_rate=0.01)
+    es = EarlyStopping(monitor="val_auc", patience=0, mode="max")
+    h = tr.fit(xt, y[:1000], batch_size=256, epochs=6, verbose=1,
+               validation_data=(xv, y[1000:]), valid_cnt_per_epoch=2,
+               callbacks=[es])
+    out = capsys.readouterr().out
+    assert "val_auc" in out  # mid-epoch validation printed
+    assert "val_auc" in h.history
+    # early stopping halted before all 6 epochs OR ran all with improvement
+    assert len(h.epoch) <= 6
