@@ -1,0 +1,58 @@
+"""Serving predictor tests."""
+
+import numpy as np
+
+from satrans_tpu import serving
+from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+from satrans_tpu.features import FeatureLayout
+from satrans_tpu.models import MMOE, SATrans
+from satrans_tpu.train import Trainer
+
+
+def _trained(model_cls=SATrans, **kw):
+    cols = synthetic_columns(num_sparse=4, vocab=30, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=500, num_sparse=4, vocab=30)
+    if model_cls is SATrans:
+        model = SATrans(layout=layout, domain_cols=["domain"],
+                        num_domains_list=[3], domain_att_layer_num=1,
+                        att_head_num=2, meta_dnn_hidden_units=(16, 8))
+        tr = Trainer(model, seed=0)
+        tr.compile(learning_rate=0.01)
+    else:
+        model = MMOE(layout=layout, num_tasks=3, domain_col="domain", **kw)
+        tr = Trainer(model, seed=0)
+        tr.compile(learning_rate=0.01, loss=["binary_crossentropy"] * 3)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+    return tr, x, y
+
+
+def test_predictor_matches_trainer_predict():
+    tr, x, y = _trained()
+    p = serving.Predictor.from_trainer(tr, batch_size=128).warmup()
+    got = p(x)
+    want = tr.predict(x, batch_size=128)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_predictor_aot_compile():
+    tr, x, y = _trained()
+    p = serving.Predictor.from_trainer(tr, batch_size=128).aot_compile()
+    got = p(x)
+    np.testing.assert_allclose(got, tr.predict(x, batch_size=128), atol=1e-6)
+
+
+def test_predictor_mtl_routes():
+    tr, x, y = _trained(MMOE)
+    p = serving.Predictor.from_trainer(tr, batch_size=128)
+    got = p(x)
+    assert got.shape == (500,)
+    np.testing.assert_allclose(got, tr.predict(x, batch_size=128), atol=1e-6)
+
+
+def test_serving_save_load(tmp_path):
+    tr, x, y = _trained()
+    serving.save(str(tmp_path / "m"), tr)
+    p = serving.load(str(tmp_path / "m"), tr.model, batch_size=128)
+    np.testing.assert_allclose(p(x), tr.predict(x, batch_size=128),
+                               atol=1e-6)
