@@ -291,8 +291,11 @@ def main(argv=None):
     test_auc_list = [str(test_auc)]
     print("test AUC", test_auc)
 
+    # per-domain report slices on the first scenario column (with a composite
+    # --domain_col a-b, reference main.py:367-368 would index a missing key)
+    domain_col_show = domain_col_list[0]
     for i, domain_auc in metrics.per_domain_auc(
-            test[target], pred, test_x[domain_col]).items():
+            test[target], pred, test_x[domain_col_show]).items():
         print(f"Domain {i} test AUC", round(domain_auc, 4))
         test_auc_list.append(str(round(domain_auc, 4)))
 

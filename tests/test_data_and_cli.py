@@ -244,3 +244,42 @@ def test_validation_and_early_stopping(capsys):
     assert "val_auc" in h.history
     # early stopping halted before all 6 epochs OR ran all with improvement
     assert len(h.epoch) <= 6
+
+
+def test_shared_embedding_tables():
+    """Fields with the same embedding_name share one table in the bank."""
+    import jax
+    import jax.numpy as jnp
+    from satrans_tpu import embeddings
+    from satrans_tpu.features import FeatureLayout, SparseFeature
+
+    cols = [SparseFeature("a", 50, 8, embedding_name="shared"),
+            SparseFeature("b", 50, 8, embedding_name="shared"),
+            SparseFeature("c", 30, 8)]
+    layout = FeatureLayout(cols)
+    assert layout.total_rows == 50 + 30  # shared table counted once
+    assert layout.sparse_field_offsets[0] == layout.sparse_field_offsets[1]
+    params = embeddings.bank_init(jax.random.PRNGKey(0), layout)
+    ids = np.array([[7, 7, 3]], dtype=np.int32)
+    emb = np.asarray(embeddings.lookup_sparse(params, layout,
+                                              jnp.asarray(ids)))
+    # same id through the shared table -> identical vectors
+    np.testing.assert_array_equal(emb[0, 0], emb[0, 1])
+    # vocab mismatch on a shared name is rejected
+    with pytest.raises(ValueError):
+        FeatureLayout([SparseFeature("a", 50, 8, embedding_name="s"),
+                       SparseFeature("b", 40, 8, embedding_name="s")])
+
+
+def test_cli_multi_scenario_columns(tmp_path):
+    """--domain_col a-b drives SATrans' multi-column scenario path."""
+    from satrans_tpu.cli import main as cli
+
+    auc = cli.main([
+        "--data_name", "synthetic", "--model_name", "SATrans",
+        "--embedding_dim", "8", "--learning_rate", "0.01",
+        "--domain_att_layer_num", "1", "--att_head_num", "2",
+        "--meta_mode", "QK", "--synthetic_rows", "2000",
+        "--batch_size", "512", "--domain_col", "domain-f0",
+        "--results_dir", str(tmp_path)])
+    assert 0.3 < auc <= 1.0
