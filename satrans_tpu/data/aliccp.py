@@ -91,7 +91,11 @@ def build_h5(train_df: pd.DataFrame, test_df: pd.DataFrame, h5_path: str,
                 merged = df[["101"]].merge(hist_df, on="101", how="left")
                 vals = merged[hcol].apply(
                     lambda x: tuple([0] * k) if not isinstance(x, tuple) else x)
-                cols[f"{hcol}_{k}"] = np.array(list(vals), dtype=np.int32)
+                # normalize '109_14' -> '10914' like the reference
+                # (aliccp_dataset_processing.py:217 col.replace('_','')), so
+                # writer keys always match the reader's `{col}_{k}` contract
+                key = hcol.replace("_", "")
+                cols[f"{key}_{k}"] = np.array(list(vals), dtype=np.int32)
         io.save_dict_h5(h5_path, cols, group=f"ctr_{name}")
 
 
@@ -107,7 +111,8 @@ def load_split(h5_path: str, split: str, cols: list[str], k: int = 3
                ) -> dict[str, np.ndarray]:
     """Reader matching ``get_aliccp_ctr_df`` (utils.py:266-278): history
     columns resolve to their ``{col}_{k}`` dataset."""
-    resolved = [f"{c}_{k}" if c in ("10914", "11014", "15014", "12714") else c
-                for c in cols]
+    hist_keys = {c.replace("_", "") for c in HISTORY_COLUMNS}
+    resolved = [f"{c.replace('_', '')}_{k}"
+                if c.replace("_", "") in hist_keys else c for c in cols]
     data = io.load_h5_dict(h5_path, group=split, cols=resolved)
     return {orig: data[res] for orig, res in zip(cols, resolved)}

@@ -178,9 +178,9 @@ class SATrans:
     def _meta_params_per_example(self, p, batch):
         """Faithful path for multi-scenario-column: per-example [B, P]."""
         cols = [self.layout.sparse_index(c) for c in self.domain_cols]
-        embs = [embeddings.lookup_sparse(p["domain_bank"], self.layout,
-                                         batch["sparse"])[:, c] for c in cols]
-        domain_emb = jnp.mean(jnp.stack(embs, axis=-1), axis=-1)  # [B, d]
+        all_emb = embeddings.lookup_sparse(p["domain_bank"], self.layout,
+                                           batch["sparse"])  # one gather
+        domain_emb = jnp.mean(all_emb[:, jnp.asarray(cols)], axis=1)  # [B, d]
         domain_emb = jax.nn.relu(domain_emb)
         L = self.domain_att_layer_num
         if not self.use_pos:
@@ -224,21 +224,26 @@ class SATrans:
                 if x.shape[0] % cand == 0:
                     blk = cand
                     break
-            # (SATRANS_FUSED=0 disables; jax.default_backend() is static
-            # under trace.)
+            # What the kernel supports: single scenario column, metanet
+            # variant, QK mode, shared (non-pos) MetaNet, no relu-out, a
+            # 2-matrix MetaNet ([d, h, d] units), no score return. bf16 is
+            # fine (f32 internals; only layer boundaries narrow).
+            supported = (single_col and self.variant == "metanet"
+                         and self.meta_mode == "QK" and not self.use_pos
+                         and not self.relu_out and not return_scores
+                         and len(self.meta_units) == 3
+                         and blk is not None
+                         and cdtype in (jnp.float32, jnp.bfloat16))
+            # SATRANS_FUSED=0 disables auto mode; jax.default_backend() is
+            # static under trace.
             import os
-            # bf16 is fine through the fused path: the kernel computes in
-            # f32 internally; only the layer-boundary tensors narrow.
-            auto_ok = (single_col and self.variant == "metanet"
-                       and self.meta_mode == "QK" and not self.use_pos
-                       and not self.relu_out and not return_scores
-                       and blk is not None
-                       and cdtype in (jnp.float32, jnp.bfloat16)
-                       and jax.default_backend() == "tpu"
-                       and os.environ.get("SATRANS_FUSED", "1") != "0")
-            fused = auto_ok if fused is None else (fused and blk is not None
-                                                   and single_col
-                                                   and not return_scores)
+            if fused is None:
+                fused = (supported and jax.default_backend() == "tpu"
+                         and os.environ.get("SATRANS_FUSED", "1") != "0")
+            else:
+                # forced True still falls back transparently when the config
+                # is outside the kernel's support (docstring contract)
+                fused = fused and supported
         if fused:
             # weights stay f32 (the kernel computes in f32); only the
             # layer-boundary activations narrow under bf16 compute.

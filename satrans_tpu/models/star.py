@@ -69,10 +69,11 @@ class StarNet:
     def init(self, key):
         ks = iter(jax.random.split(key, 64))
         D = self.num_domains
+        # no first-order linear model: the reference's STAR forward starts
+        # from logit=0 and never reads it (star.py:126); keeping it would
+        # cost ~50MB of dead Adam state on AliCCP-sized vocabs.
         p = {"emb": embeddings.bank_init(next(ks), self.layout,
-                                         init_std=self.init_std),
-             "linear": embeddings.linear_model_init(next(ks), self.layout,
-                                                    init_std=self.init_std)}
+                                         init_std=self.init_std)}
         state = {}
         if self.use_trans:
             p["int_layers"] = [

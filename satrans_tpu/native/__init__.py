@@ -89,6 +89,8 @@ def gather_columns(cols: list[np.ndarray], idx: np.ndarray,
     lib = _load()
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     dtype = np.dtype(dtype)
+    if dtype not in (np.dtype(np.int32), np.dtype(np.float32)):
+        raise TypeError(f"gather_columns supports int32/float32, got {dtype}")
     if lib is None:
         return np.stack([np.asarray(c)[idx] for c in cols], axis=1
                         ).astype(dtype)

@@ -201,9 +201,18 @@ def batch_norm_apply(p, state, x, *, train: bool, momentum: float = 0.1,
             var = jnp.sum(jnp.square(x - mean) * w, axis=0) / n
         # torch tracks the *unbiased* variance in running stats.
         unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        new_mean = (1 - momentum) * state["mean"] + momentum * mean
+        new_var = (1 - momentum) * state["var"] + momentum * unbiased
+        if batch_weight is not None:
+            # A domain absent from this batch must not decay its running
+            # stats toward 0 (the reference's boolean routing never updates
+            # BN for empty subsets, star.py:147-170).
+            has = jnp.sum(batch_weight.astype(x.dtype)) > 0
+            new_mean = jnp.where(has, new_mean, state["mean"])
+            new_var = jnp.where(has, new_var, state["var"])
         new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * mean,
-            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "mean": new_mean,
+            "var": new_var,
             "count": state["count"] + 1,
         }
     else:

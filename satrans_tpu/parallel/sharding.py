@@ -98,12 +98,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_array(arr, mesh: Mesh):
-    """Shard leading axis over 'data'."""
+def shard_array(arr, mesh: Mesh, *, axis: int = 0):
+    """Shard ``axis`` (default leading) over 'data'."""
     ndim = np.ndim(arr)
-    spec = P("data", *([None] * (ndim - 1)))
+    spec = P(*([None] * axis), "data", *([None] * (ndim - axis - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    return {k: shard_array(v, mesh) for k, v in batch.items()}
+def shard_batch(batch: dict, mesh: Mesh, *, axis: int = 0) -> dict:
+    return {k: shard_array(v, mesh, axis=axis) for k, v in batch.items()}

@@ -214,15 +214,20 @@ class Trainer:
                     self.model, self.params, self.opt_state, self.state,
                     self.mesh, shard_embeddings=self.shard_embeddings)
 
-    def _device_batch(self, batch_np, y=None, weight=None):
+    def _device_batch(self, batch_np, y=None, weight=None, *,
+                      stacked: bool = False):
+        """``stacked=True`` for [K, B, ...] scan inputs: the BATCH axis
+        (axis 1) carries the 'data' sharding, not the scan axis."""
+        axis = 1 if stacked else 0
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         if self.mesh is not None:
             from ..parallel import sharding as shlib
-            batch = shlib.shard_batch(batch, self.mesh)
+            batch = shlib.shard_batch(batch, self.mesh, axis=axis)
             if y is not None:
-                y = shlib.shard_array(jnp.asarray(y), self.mesh)
+                y = shlib.shard_array(jnp.asarray(y), self.mesh, axis=axis)
             if weight is not None:
-                weight = shlib.shard_array(jnp.asarray(weight), self.mesh)
+                weight = shlib.shard_array(jnp.asarray(weight), self.mesh,
+                                           axis=axis)
         else:
             if y is not None:
                 y = jnp.asarray(y)
@@ -319,7 +324,8 @@ class Trainer:
                                 for kk, v in data.items()}
                     yb = labels[idx].reshape(k, batch_size)
                     wb = np.ones((k, batch_size), np.float32)
-                    batch, yb, wb = self._device_batch(batch_np, yb, wb)
+                    batch, yb, wb = self._device_batch(batch_np, yb, wb,
+                                                       stacked=True)
                     step_rng, sub = jax.random.split(step_rng)
                     subs = jax.random.split(sub, k)
                     self.params, self.opt_state, self.state, stats = \

@@ -283,3 +283,25 @@ def test_cli_multi_scenario_columns(tmp_path):
         "--batch_size", "512", "--domain_col", "domain-f0",
         "--results_dir", str(tmp_path)])
     assert 0.3 < auc <= 1.0
+
+
+def test_aliccp_history_underscore_names(tmp_path):
+    """Writer accepts '109_14'-style keys; reader resolves both spellings."""
+    h5 = str(tmp_path / "alicpp.h5")
+    frame = pd.DataFrame({"click": [0, 1, 0], "101": [1, 2, 3],
+                          "301": [1, 2, 3]})
+    hist = aliccp.history_feature_frame(
+        aliccp.topk_edges([1, 2, 3], [5, 6, 7], [1.0, 1.0, 1.0], k=2),
+        k=2, col="109_14")
+    aliccp.build_h5(frame, frame, h5, history={"109_14": hist}, k=2)
+    loaded = aliccp.load_split(h5, "ctr_train", ["click", "10914"], k=2)
+    assert loaded["10914"].shape == (3, 2)
+    loaded2 = aliccp.load_split(h5, "ctr_train", ["109_14"], k=2)
+    assert loaded2["109_14"].shape == (3, 2)
+
+
+def test_native_gather_columns_rejects_wide_dtypes():
+    from satrans_tpu import native
+    with pytest.raises(TypeError):
+        native.gather_columns([np.arange(5, dtype=np.int64)],
+                              np.array([0, 1]), dtype=np.int64)

@@ -198,3 +198,23 @@ def test_cal_ctr_util():
             "wide": rng.integers(0, 100, 500)}
     out = cal_ctr(data)
     assert "dom" in out and "wide" not in out
+
+
+def test_star_bn_stats_freeze_for_absent_domain():
+    """A domain absent from a batch must not decay its BN running stats."""
+    layout, x, y = _data(n=128)
+    x = {k: v.copy() for k, v in x.items()}
+    x["domain"][:] = np.where(x["domain"] == 3, 1, x["domain"])  # no domain 3
+    model = StarNet(layout=layout, domain_col="domain",
+                    num_domains=NUM_DOMAINS, dnn_hidden_units=(16, 8))
+    model.set_domain_offset(1)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    _, new_state, _ = model.apply(params, state, batch, train=True,
+                                  rng=jax.random.PRNGKey(1))
+    # domains 1,2 present -> stats moved; domain 3 absent -> unchanged
+    assert not np.allclose(np.asarray(new_state["bn"][0]["mean"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(new_state["bn"][2]["mean"]),
+                                  np.asarray(state["bn"][2]["mean"]))
+    np.testing.assert_array_equal(np.asarray(new_state["bn"][2]["var"]),
+                                  np.asarray(state["bn"][2]["var"]))

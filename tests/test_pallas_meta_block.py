@@ -178,3 +178,32 @@ def test_satrans_fused_grads_match_unfused():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=5e-4,
                                    err_msg=str(path))
+
+
+def test_forced_fused_falls_back_when_unsupported():
+    """use_fused_kernel=True must transparently fall back (not crash or
+    silently compute different math) for unsupported configs."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+
+    cols = synthetic_columns(num_sparse=4, vocab=40, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    x, _ = synthetic_data(n=32, num_sparse=4, vocab=40)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    for kw in (dict(variant="gate"),
+               dict(meta_mode="Q"),
+               dict(use_pos=True),
+               dict(meta_dnn_hidden_units=(64, 64, 32))):  # 3-matrix MetaNet
+        ref = SATrans(layout=layout, domain_cols=["domain"],
+                      num_domains_list=[3], domain_att_layer_num=1,
+                      att_head_num=4, use_fused_kernel=False, **kw)
+        forced = SATrans(layout=layout, domain_cols=["domain"],
+                         num_domains_list=[3], domain_att_layer_num=1,
+                         att_head_num=4, use_fused_kernel=True,
+                         fused_interpret=True, **kw)
+        params, state = ref.init(jax.random.PRNGKey(0))
+        p_ref, _, _ = ref.apply(params, state, batch)
+        p_forced, _, _ = forced.apply(params, state, batch)
+        np.testing.assert_allclose(np.asarray(p_forced), np.asarray(p_ref),
+                                   rtol=1e-5, err_msg=str(kw))

@@ -125,3 +125,20 @@ def test_fit_from_iterator_with_prefetch():
     tr.fit_from_iterator(factory, epochs=5, verbose=0)
     auc = metrics.auc(y, tr.predict(x, batch_size=128))
     assert auc > 0.6, auc
+
+
+def test_mesh_with_scan_steps():
+    """Fused-scan path under a mesh: batch axis (not scan axis) is sharded."""
+    cols = synthetic_columns(num_sparse=4, vocab=32, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=4, vocab=32)
+
+    def run(mesh, scan):
+        tr = Trainer(DeepFM(layout=layout), mesh=mesh, seed=0)
+        tr.compile(learning_rate=0.01)
+        tr.fit(x, y, batch_size=128, epochs=1, verbose=0, scan_steps=scan)
+        return tr.predict(x, batch_size=128)
+
+    base = run(None, 1)
+    # scan_steps=2 is NOT divisible by 8 devices - must still work
+    np.testing.assert_allclose(base, run(make_mesh(), 2), atol=2e-5)
