@@ -218,3 +218,14 @@ def test_star_bn_stats_freeze_for_absent_domain():
                                   np.asarray(state["bn"][2]["mean"]))
     np.testing.assert_array_equal(np.asarray(new_state["bn"][2]["var"]),
                                   np.asarray(state["bn"][2]["var"]))
+
+
+def test_adasparse_usetrans_forward():
+    layout, x, y = _data(n=64)
+    model = AdaSparse(layout=layout, domain_col="domain", num_domains=3,
+                      domain_emb_dim=8, flag="usetrans")
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    pred, _, _ = model.apply(params, state, batch, train=True,
+                             rng=jax.random.PRNGKey(1))
+    assert pred.shape == (64,) and np.isfinite(np.asarray(pred)).all()

@@ -121,3 +121,18 @@ def test_bfloat16_compute_close_to_fp32():
     np.testing.assert_allclose(np.asarray(p32), np.asarray(p16), atol=0.03)
     corr = np.corrcoef(np.asarray(p32), np.asarray(p16))[0, 1]
     assert corr > 0.99
+
+
+@pytest.mark.parametrize("kw", [dict(variant="gate"),
+                                dict(variant="bilinear"),
+                                dict(use_pos=True),
+                                dict(only_emb=True)])
+def test_variant_training_step(kw):
+    """Each variant must produce finite grads and train one step."""
+    layout, model = _make(**kw)
+    x, y = synthetic_data(n=256, num_sparse=5, vocab=50)
+    tr = Trainer(model, seed=0)
+    tr.compile(learning_rate=0.01)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+    pred = tr.predict(x, batch_size=128)
+    assert np.isfinite(pred).all()
