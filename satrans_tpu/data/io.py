@@ -64,3 +64,30 @@ def dump_pkl(obj, path):
 def load_pkl(path):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def loadh52df(path):
+    """Flat h5 file -> pandas DataFrame (reference utils.py:22-30)."""
+    import pandas as pd
+    return pd.DataFrame(load_h5_dict(path))
+
+
+def list_h5(path):
+    """List 'group/dataset' keys with shapes (reference utils.py:55-66)."""
+    import h5py
+    names = []
+    with h5py.File(path, "r") as f:
+        def visit(name, obj):
+            if hasattr(obj, "shape"):
+                names.append((name, obj.shape))
+        f.visititems(visit)
+    return names
+
+
+def dump_npy(obj, path):
+    assert path.endswith(".npy")
+    np.save(path, obj)
+
+
+def load_npy(path):
+    return np.load(path, allow_pickle=True)

@@ -87,3 +87,8 @@ def cal_ctr(data: dict, label_col: str = "click", max_unique: int = 20):
         if col != label_col and df[col].nunique() < max_unique:
             out[col] = float(df.groupby(col)[label_col].mean().std())
     return out
+
+
+def df2dict(df):
+    """DataFrame -> {column: values} (reference utils.py:49-53)."""
+    return {col: df[col].values for col in df.columns}

@@ -305,3 +305,19 @@ def test_native_gather_columns_rejects_wide_dtypes():
     with pytest.raises(TypeError):
         native.gather_columns([np.arange(5, dtype=np.int64)],
                               np.array([0, 1]), dtype=np.int64)
+
+
+def test_io_aliases(tmp_path):
+    import pandas as pd
+    from satrans_tpu.utils import df2dict
+    h5 = str(tmp_path / "t.h5")
+    io.save_dict_h5(h5, {"a": np.arange(5), "b": np.ones(5)})
+    df = io.loadh52df(h5)
+    assert list(sorted(df.columns)) == ["a", "b"]
+    d = df2dict(df)
+    np.testing.assert_array_equal(d["a"], np.arange(5))
+    names = io.list_h5(h5)
+    assert ("a", (5,)) in names
+    io.dump_npy(np.arange(3), str(tmp_path / "x.npy"))
+    np.testing.assert_array_equal(io.load_npy(str(tmp_path / "x.npy")),
+                                  np.arange(3))
