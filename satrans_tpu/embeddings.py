@@ -121,38 +121,11 @@ def lookup_rows(params, ids, d: int):
                       phys.reshape(*phys.shape[:-1], rp, d))
 
 
-# Fields whose table vocab is at most this go through the one-hot-matmul
-# path: their embedding gradient becomes a dense [Rs, B*Ss] GEMM instead of
-# rows in the big scatter-add. On AliCCP, 9 of 19 fields (134 rows total)
-# are the dominant duplicate mass in the 155k-row scatter.
-SMALL_FIELD_THRESHOLD = 256
-
-
 def lookup_sparse(params, layout: FeatureLayout, sparse_ids, dim=None):
-    """``[B, S] int32 -> [B, S, dim]`` - fused gather, with small-vocab
-    fields routed through a compact sub-bank one-hot matmul (MXU-friendly
-    fwd AND bwd; no scatter rows for those fields)."""
-    d = dim or layout.embedding_dim
+    """``[B, S] int32 -> [B, S, dim]`` - the single fused gather."""
     offsets = jnp.asarray(layout.sparse_field_offsets)
-    small_idx, large_idx, suboffsets, logical_rows = \
-        layout.small_split(SMALL_FIELD_THRESHOLD)
-    if not small_idx or not large_idx:
-        return lookup_rows(params, sparse_ids + offsets[None, :], d)
-
-    large = jnp.asarray(large_idx)
-    small = jnp.asarray(small_idx)
-    large_emb = lookup_rows(
-        params, sparse_ids[:, large] + offsets[large][None, :], d)
-    # static-row gather of the compact sub-bank, then one-hot matmul
-    sub = bank_logical(params, d)[jnp.asarray(logical_rows)]   # [Rs, d]
-    sids = sparse_ids[:, small] + jnp.asarray(suboffsets)[None, :]
-    onehot = jax.nn.one_hot(sids, sub.shape[0], dtype=sub.dtype)
-    small_emb = jnp.einsum("bsr,rd->bsd", onehot, sub)
-    # restore declaration field order
-    emb = jnp.concatenate([large_emb, small_emb], axis=1)
-    order = list(large_idx) + list(small_idx)
-    inv = np.argsort(order)
-    return emb[:, jnp.asarray(inv)]
+    return lookup_rows(params, sparse_ids + offsets[None, :],
+                       dim or layout.embedding_dim)
 
 
 def lookup_varlen(params, layout: FeatureLayout, varlen_ids, dim=None):

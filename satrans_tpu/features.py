@@ -170,46 +170,6 @@ class FeatureLayout:
     def sparse_index(self, name: str) -> int:
         return self._sparse_index[name]
 
-    def small_split(self, threshold: int = 256):
-        """Partition sparse fields by table vocab for the small-field
-        matmul path (see embeddings.lookup_sparse).
-
-        Returns (small_idx, large_idx, small_suboffsets, logical_rows) where
-        ``logical_rows`` are the fused-bank row ids composing the compact
-        small sub-bank and ``small_suboffsets[i]`` is field i's first row in
-        it.  Cached per layout+threshold (layouts are immutable after
-        construction).
-        """
-        cache = getattr(self, "_small_split_cache", None)
-        if cache is None:
-            cache = self._small_split_cache = {}
-        if threshold in cache:
-            return cache[threshold]
-        small_idx, large_idx = [], []
-        suboffsets = []
-        logical_rows = []
-        sub = 0
-        seen_tables: dict[str, int] = {}
-        for i, c in enumerate(self.sparse):
-            if c.vocab <= threshold:
-                small_idx.append(i)
-                t = c.table_name
-                if t in seen_tables:
-                    suboffsets.append(seen_tables[t])
-                else:
-                    seen_tables[t] = sub
-                    suboffsets.append(sub)
-                    start = self.table_offsets[t]
-                    logical_rows.extend(range(start, start + c.vocab))
-                    sub += c.vocab
-            else:
-                large_idx.append(i)
-        out = (small_idx, large_idx,
-               np.asarray(suboffsets, np.int32),
-               np.asarray(logical_rows, np.int32))
-        cache[threshold] = out
-        return out
-
     def input_dim(self, include_sparse: bool = True, include_dense: bool = True,
                   feature_group: bool = False) -> int:
         """Flattened DNN input width (reference basemodel.py:489-507)."""

@@ -234,48 +234,3 @@ def test_lookup_rows_grads_match_direct(rng):
     fd = (loss(p_plus) - loss(p_minus)) / (2 * eps)
     np.testing.assert_allclose(float(g["bank"][i, j]), float(fd), rtol=1e-2,
                                atol=1e-4)
-
-
-def test_small_field_matmul_path_matches_gather(rng):
-    """Small-vocab fields via one-hot matmul == plain gather (fwd + grads)."""
-    import jax
-    import jax.numpy as jnp
-    from satrans_tpu import embeddings
-    from satrans_tpu.features import FeatureLayout, SparseFeature
-
-    cols = [SparseFeature("big", 5000, 8), SparseFeature("tiny1", 5, 8),
-            SparseFeature("big2", 3000, 8), SparseFeature("tiny2", 9, 8)]
-    layout = FeatureLayout(cols)
-    params = embeddings.bank_init(jax.random.PRNGKey(0), layout)
-    ids = np.stack([rng.integers(1, 5000, 20), rng.integers(1, 5, 20),
-                    rng.integers(1, 3000, 20), rng.integers(1, 9, 20)],
-                   axis=1).astype(np.int32)
-    ids_j = jnp.asarray(ids)
-
-    def fwd_plain(p):
-        offsets = jnp.asarray(layout.sparse_field_offsets)
-        return embeddings.lookup_rows(p, ids_j + offsets[None, :], 8)
-
-    def fwd_split(p):
-        return embeddings.lookup_sparse(p, layout, ids_j)
-
-    e1 = np.asarray(fwd_plain(params))
-    e2 = np.asarray(fwd_split(params))
-    np.testing.assert_allclose(e2, e1, rtol=1e-6, atol=1e-7)
-
-    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(fwd_plain(p))))(params)
-    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(fwd_split(p))))(params)
-    np.testing.assert_allclose(np.asarray(g2["bank"]),
-                               np.asarray(g1["bank"]), rtol=1e-5, atol=1e-6)
-
-
-def test_small_split_shared_table():
-    from satrans_tpu.features import FeatureLayout, SparseFeature
-    cols = [SparseFeature("a", 5, 8, embedding_name="sh"),
-            SparseFeature("b", 5, 8, embedding_name="sh"),
-            SparseFeature("c", 9000, 8)]
-    layout = FeatureLayout(cols)
-    small_idx, large_idx, suboffsets, rows = layout.small_split(256)
-    assert small_idx == [0, 1] and large_idx == [2]
-    assert suboffsets[0] == suboffsets[1] == 0  # shared table, one sub-range
-    assert len(rows) == 5
