@@ -46,24 +46,42 @@ def pack_factor(d: int) -> int:
     return 128 // d if d in (1, 2, 4, 8, 16, 32, 64, 128) else 1
 
 
+# Tables whose vocab is at most this (and that no varlen field uses) live in
+# a compact side bank read via one-hot matmuls: forward AND backward are MXU
+# GEMMs, and their rows leave the big scatter-add entirely.  On AliCCP 9 of
+# 19 fields (134 rows, incl. the scenario column) are the dominant duplicate
+# mass of the 155k-row embedding-grad scatter.
+SMALL_TABLE_THRESHOLD = 256
+
+
 def bank_init(key, layout: FeatureLayout, *, dim: int | None = None,
               init_std: float | None = 1e-4):
-    """Create the fused bank, stored packed as ``[R/rp, rp*d]``.
+    """Create the fused bank: a packed ``[R/rp, rp*d]`` large bank plus a
+    compact ``[Rs, d]`` side bank for small tables (see
+    SMALL_TABLE_THRESHOLD).
 
     ``init_std=None`` maps to the reference's ``noembinit`` flag
     (basemodel.py:114-116): keep torch's ``nn.Embedding`` default N(0, 1).
     """
     d = layout.embedding_dim if dim is None else dim
+    split = layout.small_split(SMALL_TABLE_THRESHOLD)
     rp = pack_factor(d)
-    rows = -(-max(layout.total_rows, 1) // rp) * rp
-    if init_std is None:
-        bank = init.torch_embedding_default(key, (rows, d))
-    else:
-        bank = init.normal(key, (rows, d), init_std)
-    # zero the <rp pad rows so they contribute nothing to L2 / updates
-    if rows > layout.total_rows:
-        bank = bank.at[layout.total_rows:].set(0.0)
-    return {"bank": bank.reshape(rows // rp, rp * d)}
+    rows = -(-max(split["large_rows"], 1) // rp) * rp
+
+    def draw(k, shape):
+        if init_std is None:
+            return init.torch_embedding_default(k, shape)
+        return init.normal(k, shape, init_std)
+
+    k1, k2 = jax.random.split(key)
+    bank = draw(k1, (rows, d))
+    if rows > split["large_rows"]:
+        # zero pad rows so they contribute nothing to L2 / updates
+        bank = bank.at[split["large_rows"]:].set(0.0)
+    p = {"bank": bank.reshape(rows // rp, rp * d)}
+    if split["small_rows"]:
+        p["small"] = draw(k2, (split["small_rows"], d))
+    return p
 
 
 def bank_logical(params, d: int):
@@ -121,11 +139,50 @@ def lookup_rows(params, ids, d: int):
                       phys.reshape(*phys.shape[:-1], rp, d))
 
 
+def _small_lookup(small_bank, ids):
+    """One-hot matmul read of the side bank: ``[..., Rs] @ [Rs, d]``.
+    Autodiff gives a dense GEMM gradient - no scatter rows."""
+    onehot = jax.nn.one_hot(ids, small_bank.shape[0], dtype=small_bank.dtype)
+    return jnp.einsum("...r,rd->...d", onehot, small_bank)
+
+
 def lookup_sparse(params, layout: FeatureLayout, sparse_ids, dim=None):
-    """``[B, S] int32 -> [B, S, dim]`` - the single fused gather."""
-    offsets = jnp.asarray(layout.sparse_field_offsets)
-    return lookup_rows(params, sparse_ids + offsets[None, :],
-                       dim or layout.embedding_dim)
+    """``[B, S] int32 -> [B, S, dim]``: one fused gather for large-table
+    fields + a one-hot matmul for small-table fields."""
+    d = dim or layout.embedding_dim
+    split = layout.small_split(SMALL_TABLE_THRESHOLD)
+    small_idx, large_idx = split["small_idx"], split["large_idx"]
+    if not small_idx:
+        offsets = jnp.asarray(split["large_offsets"])
+        return lookup_rows(params, sparse_ids + offsets[None, :], d)
+    parts = []
+    if large_idx:
+        ids = sparse_ids[:, jnp.asarray(large_idx)] \
+            + jnp.asarray(split["large_offsets"])[None, :]
+        parts.append(lookup_rows(params, ids, d))
+    sids = sparse_ids[:, jnp.asarray(small_idx)] \
+        + jnp.asarray(split["small_offsets"])[None, :]
+    parts.append(_small_lookup(params["small"], sids))
+    emb = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    order = list(large_idx) + list(small_idx)
+    inv = np.argsort(order)
+    if list(inv) == list(range(len(order))):
+        return emb
+    return emb[:, jnp.asarray(inv)]
+
+
+def lookup_field(params, layout: FeatureLayout, name: str, ids, dim=None):
+    """Read one sparse field's embeddings for arbitrary ``ids`` (routes to
+    the correct bank - used where a model reads a single field directly,
+    e.g. AdaSparse's domain embedding, reference adasparse.py:641-642)."""
+    d = dim or layout.embedding_dim
+    split = layout.small_split(SMALL_TABLE_THRESHOLD)
+    i = layout.sparse_index(name)
+    if i in split["small_idx"]:
+        off = int(split["small_offsets"][split["small_idx"].index(i)])
+        return _small_lookup(params["small"], ids + off)
+    off = int(split["large_offsets"][split["large_idx"].index(i)])
+    return lookup_rows(params, ids + off, d)
 
 
 def lookup_varlen(params, layout: FeatureLayout, varlen_ids, dim=None):
@@ -135,7 +192,8 @@ def lookup_varlen(params, layout: FeatureLayout, varlen_ids, dim=None):
     pads, matching deepctr's ``get_varlen_pooling_list`` semantics
     (reference basemodel.py:479-482).
     """
-    offsets = jnp.asarray(layout.varlen_field_offsets)
+    split = layout.small_split(SMALL_TABLE_THRESHOLD)
+    offsets = jnp.asarray(split["varlen_offsets"])
     emb = lookup_rows(params, varlen_ids + offsets[None, :, None],
                       dim or layout.embedding_dim)  # [B,V,L,dim]
     mask = (varlen_ids > 0)[..., None]  # [B,V,L,1]
@@ -175,7 +233,10 @@ def l2_loss(params, l2: float):
     """Full-table L2, matching reference basemodel.py:519-535."""
     if l2 <= 0.0:
         return 0.0
-    return l2 * jnp.sum(jnp.square(params["bank"]))
+    loss = l2 * jnp.sum(jnp.square(params["bank"]))
+    if "small" in params:
+        loss = loss + l2 * jnp.sum(jnp.square(params["small"]))
+    return loss
 
 
 # ---------------------------------------------------------------------------

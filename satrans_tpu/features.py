@@ -170,6 +170,64 @@ class FeatureLayout:
     def sparse_index(self, name: str) -> int:
         return self._sparse_index[name]
 
+    def small_split(self, threshold: int = 256):
+        """Partition tables by vocab for the small-table matmul storage
+        (embeddings.bank_init): tables with vocab <= threshold (and no varlen
+        user) live in a compact side bank whose lookups are one-hot matmuls,
+        so their gradients are dense GEMMs instead of scatter rows.
+
+        Returns a dict with:
+          small_idx / large_idx       - sparse field positions per class
+          small_offsets               - per small field, first row in the
+                                        side bank
+          small_rows                  - side-bank row count
+          large_offsets               - per large sparse field, first row in
+                                        the large-only bank
+          varlen_offsets              - varlen field offsets in the large bank
+          large_rows                  - large-bank row count
+        Cached per (layout, threshold); layouts are immutable.
+        """
+        cache = getattr(self, "_small_split_cache", None)
+        if cache is None:
+            cache = self._small_split_cache = {}
+        if threshold in cache:
+            return cache[threshold]
+        varlen_tables = {c.table_name for c in self.varlen}
+        small_tables: dict[str, int] = {}
+        large_tables: dict[str, int] = {}
+        small_rows = 0
+        large_rows = 0
+        for c in self.sparse + self.varlen:
+            t = c.table_name
+            if t in small_tables or t in large_tables:
+                continue
+            if c.vocab <= threshold and t not in varlen_tables:
+                small_tables[t] = small_rows
+                small_rows += c.vocab
+            else:
+                large_tables[t] = large_rows
+                large_rows += c.vocab
+        small_idx = [i for i, c in enumerate(self.sparse)
+                     if c.table_name in small_tables]
+        large_idx = [i for i, c in enumerate(self.sparse)
+                     if c.table_name in large_tables]
+        out = {
+            "small_idx": small_idx,
+            "large_idx": large_idx,
+            "small_offsets": np.asarray(
+                [small_tables[self.sparse[i].table_name] for i in small_idx],
+                np.int32),
+            "small_rows": small_rows,
+            "large_offsets": np.asarray(
+                [large_tables[self.sparse[i].table_name] for i in large_idx],
+                np.int32),
+            "varlen_offsets": np.asarray(
+                [large_tables[c.table_name] for c in self.varlen], np.int32),
+            "large_rows": large_rows,
+        }
+        cache[threshold] = out
+        return out
+
     def input_dim(self, include_sparse: bool = True, include_dense: bool = True,
                   feature_group: bool = False) -> int:
         """Flattened DNN input width (reference basemodel.py:489-507)."""

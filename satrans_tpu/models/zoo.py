@@ -560,10 +560,9 @@ class AdaSparse(ZooBase):
         # Domain embedding comes from the domain feature's OWN embedding
         # (reference adasparse.py:641-642), i.e. the fused bank row.
         ids = batch["sparse"][:, self.layout.sparse_index(self.domain_col)]
-        offset = int(self.layout.sparse_field_offsets[
-            self.layout.sparse_index(self.domain_col)])
-        dom_emb = embeddings.lookup_rows(params["emb"], ids + offset,
-                                         self.embedding_dim)
+        dom_emb = embeddings.lookup_field(params["emb"], self.layout,
+                                          self.domain_col, ids,
+                                          self.embedding_dim)
         if self.use_trans:
             att = x
             for i, lp in enumerate(params["int_layers"]):

@@ -217,9 +217,10 @@ def test_lookup_rows_grads_match_direct(rng):
     from satrans_tpu import embeddings
     from satrans_tpu.features import FeatureLayout, SparseFeature
 
-    layout = FeatureLayout([SparseFeature("f", 100, 8)])
+    # vocab above SMALL_TABLE_THRESHOLD so the packed-gather path is tested
+    layout = FeatureLayout([SparseFeature("f", 1000, 8)])
     params = embeddings.bank_init(jax.random.PRNGKey(0), layout)
-    ids = jnp.asarray(rng.integers(0, 100, size=(16, 1)).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, 1000, size=(16, 1)).astype(np.int32))
 
     def loss(p):
         return jnp.sum(jnp.square(embeddings.lookup_sparse(p, layout, ids)))
@@ -234,3 +235,55 @@ def test_lookup_rows_grads_match_direct(rng):
     fd = (loss(p_plus) - loss(p_minus)) / (2 * eps)
     np.testing.assert_allclose(float(g["bank"][i, j]), float(fd), rtol=1e-2,
                                atol=1e-4)
+
+
+def test_small_table_storage_fwd_and_grads(rng):
+    """Small tables in the side bank: values and grads match a monolithic
+    reference implementation."""
+    import jax
+    import jax.numpy as jnp
+    from satrans_tpu import embeddings
+    from satrans_tpu.features import FeatureLayout, SparseFeature
+
+    cols = [SparseFeature("big", 5000, 8), SparseFeature("tiny", 7, 8),
+            SparseFeature("big2", 3000, 8), SparseFeature("tiny2", 250, 8)]
+    layout = FeatureLayout(cols)
+    split = layout.small_split(256)
+    assert split["small_idx"] == [1, 3] and split["large_idx"] == [0, 2]
+    assert split["small_rows"] == 7 + 250
+    params = embeddings.bank_init(jax.random.PRNGKey(0), layout)
+    assert params["small"].shape == (257, 8)
+
+    ids = np.stack([rng.integers(1, 5000, 20), rng.integers(1, 7, 20),
+                    rng.integers(1, 3000, 20), rng.integers(1, 250, 20)],
+                   axis=1).astype(np.int32)
+    ids_j = jnp.asarray(ids)
+
+    emb = np.asarray(embeddings.lookup_sparse(params, layout, ids_j))
+    # field order preserved; values come from the right banks
+    big_bank = np.asarray(embeddings.bank_logical(params, 8))
+    np.testing.assert_allclose(emb[:, 0], big_bank[ids[:, 0]], rtol=1e-6)
+    small = np.asarray(params["small"])
+    np.testing.assert_allclose(emb[:, 1], small[ids[:, 1]], rtol=1e-6)
+    np.testing.assert_allclose(emb[:, 3], small[7 + ids[:, 3]], rtol=1e-6)
+
+    # grads: small-bank grad is dense and matches a take-based oracle
+    def loss(p):
+        return jnp.sum(jnp.sin(embeddings.lookup_sparse(p, layout, ids_j)))
+
+    g = jax.grad(loss)(params)
+    want_small = np.zeros_like(small)
+    cos_emb = np.cos(emb)
+    for b in range(20):
+        want_small[ids[b, 1]] += cos_emb[b, 1]
+        want_small[7 + ids[b, 3]] += cos_emb[b, 3]
+    np.testing.assert_allclose(np.asarray(g["small"]), want_small,
+                               rtol=1e-4, atol=1e-5)
+
+    # lookup_field routes to the right bank for both classes
+    one = np.asarray(embeddings.lookup_field(params, layout, "tiny",
+                                             jnp.asarray(ids[:, 1])))
+    np.testing.assert_allclose(one, small[ids[:, 1]], rtol=1e-6)
+    one_big = np.asarray(embeddings.lookup_field(params, layout, "big",
+                                                 jnp.asarray(ids[:, 0])))
+    np.testing.assert_allclose(one_big, big_bank[ids[:, 0]], rtol=1e-6)

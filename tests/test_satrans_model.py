@@ -26,9 +26,10 @@ def _make(num_sparse=5, vocab=50, dim=8, num_domains=3, **kw):
 def test_init_shapes():
     layout, model = _make()
     params, state = model.init(jax.random.PRNGKey(0))
-    rp = 128 // 8
-    rows = -(-layout.total_rows // rp) * rp
-    assert params["emb"]["bank"].shape == (rows // rp, 128)
+    # all synthetic tables are small (vocab<=256) -> side bank holds them
+    split = layout.small_split()
+    assert params["emb"]["small"].shape == (split["small_rows"], 8)
+    assert split["small_rows"] == layout.total_rows
     # meta units [8,16,8] -> P = 8*16+16*8 = 256
     assert params["encoder"]["layers"][0]["w"].shape == (8, 256)
     assert params["domain_emb"].shape == (3 + 1, 8)
