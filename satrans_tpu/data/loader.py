@@ -73,10 +73,15 @@ class Prefetcher:
         self.transform = transform
 
         def work():
+            # A producer crash must surface in the consumer, not masquerade
+            # as a normal end-of-epoch (training would silently continue on
+            # truncated data): enqueue the exception and re-raise on get.
             try:
                 for item in iterator:
                     self.q.put(self.transform(item) if self.transform else item)
-            finally:
+            except BaseException as e:  # noqa: BLE001 - relayed, not handled
+                self.q.put(e)
+            else:
                 self.q.put(self._END)
 
         self.thread = threading.Thread(target=work, daemon=True)
@@ -87,4 +92,6 @@ class Prefetcher:
             item = self.q.get()
             if item is self._END:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

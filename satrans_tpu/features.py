@@ -238,12 +238,34 @@ class FeatureLayout:
             dim += self.dense_dim
         return dim
 
+    def validate_ids(self, data: dict[str, np.ndarray]) -> None:
+        """Raise on out-of-vocab ids (host-side, one pass per column).
+
+        On device, bad ids fail SILENTLY and inconsistently: large-bank
+        gathers clamp to the last row, side-bank one-hot reads return zeros
+        (torch would raise).  Enabled via ``SATRANS_VALIDATE=1`` or an
+        explicit call before training/serving on untrusted inputs.
+        """
+        for c in list(self.sparse) + list(self.varlen):
+            col = np.asarray(data[c.name])
+            lo, hi = int(col.min()), int(col.max())
+            if lo < 0 or hi >= c.vocab:
+                raise ValueError(
+                    f"feature {c.name!r}: ids in [{lo}, {hi}] exceed vocab "
+                    f"{c.vocab} - fix the preprocessing id remap "
+                    "(reference aliccp_dataset_processing.py:161-169)")
+
     def batch_from_dict(self, data: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         """Assemble a typed batch from a {name: column array} dict.
 
         Replaces the reference's dict -> ordered list -> ``np.concatenate``
         float tensor path (meta_basemodel.py:221-264) with typed arrays.
+        Set ``SATRANS_VALIDATE=1`` to id-range-check every column first
+        (see :meth:`validate_ids`).
         """
+        import os
+        if os.environ.get("SATRANS_VALIDATE", "0") == "1":
+            self.validate_ids(data)
         n = len(next(iter(data.values())))
         out: dict[str, np.ndarray] = {}
         if self.sparse:

@@ -56,3 +56,27 @@ def test_serving_save_load(tmp_path):
     p = serving.load(str(tmp_path / "m"), tr.model, batch_size=128)
     np.testing.assert_allclose(p(x), tr.predict(x, batch_size=128),
                                atol=1e-6)
+
+
+def test_serving_restores_fit_learned_domain_offset(tmp_path):
+    """ADVICE r1 (medium): 0-based domain ids + a fresh model config (whose
+    dataclass default offset is 1) must still route correctly after load -
+    the fit-learned domain_id_offset travels with the checkpoint."""
+    cols = synthetic_columns(num_sparse=4, vocab=30, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=500, num_sparse=4, vocab=30)
+    x = dict(x)
+    x["domain"] = x["domain"] - 1  # 0-based scenario ids (Alimama pid style)
+    model = MMOE(layout=layout, num_tasks=3, domain_col="domain")
+    tr = Trainer(model, seed=0)
+    tr.compile(learning_rate=0.01, loss=["binary_crossentropy"] * 3)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+    assert model.domain_id_offset == 0
+    serving.save(str(tmp_path / "m"), tr)
+
+    fresh = MMOE(layout=layout, num_tasks=3, domain_col="domain")
+    assert fresh.domain_id_offset == 1  # the config default that was wrong
+    p = serving.load(str(tmp_path / "m"), fresh, batch_size=128)
+    assert fresh.domain_id_offset == 0
+    np.testing.assert_allclose(p(x), tr.predict(x, batch_size=128),
+                               atol=1e-6)

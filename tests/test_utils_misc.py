@@ -78,3 +78,33 @@ def test_kernel_bench_smoke():
     assert "embedding_gather" in out and "scoring" in out
     for r in out.values():
         assert r["seconds"] > 0
+
+
+def test_prefetcher_propagates_producer_errors():
+    """ADVICE r1 (low): a loader crash must not look like end-of-epoch."""
+    import pytest
+    from satrans_tpu.data.loader import Prefetcher
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = iter(Prefetcher(boom()))
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(it)
+
+
+def test_validate_ids_rejects_out_of_vocab():
+    """ADVICE r1 (low): vocab violations fail loudly, not silently."""
+    import numpy as np
+    import pytest
+    from satrans_tpu.features import FeatureLayout, SparseFeature
+
+    layout = FeatureLayout([SparseFeature("a", 10, 8),
+                            SparseFeature("b", 300, 8)])
+    ok = {"a": np.array([0, 9]), "b": np.array([1, 299])}
+    layout.validate_ids(ok)
+    bad = {"a": np.array([0, 10]), "b": np.array([1, 2])}
+    with pytest.raises(ValueError, match="'a'"):
+        layout.validate_ids(bad)
