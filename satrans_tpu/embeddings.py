@@ -89,6 +89,33 @@ def bank_logical(params, d: int):
     return params["bank"].reshape(-1, d)
 
 
+def combine_duplicate_rows(ids, g):
+    """Sort ids and segment-sum duplicate rows' gradients.
+
+    Returns ``(row_ids, summed, valid)``: ``row_ids[i]`` is the i-th unique
+    physical row in sorted order where ``valid[i]``; ``summed[i]`` is the sum
+    of ``g`` rows whose id equals ``row_ids[i]``.  Entries past the unique
+    count carry ``valid=False`` (their ids/values are meaningless).
+
+    This is both the combine stage of the dense embedding-grad scatter (see
+    :func:`_gather_packed_bwd`) and the sparse-row collection the Trainer's
+    fused/lazy bank optimizers consume (train/bank_optimizer.py).
+    """
+    n = ids.shape[0]
+    if n == 0:  # every field lives in the side bank - nothing to combine
+        return ids, g, jnp.zeros((0,), jnp.bool_)
+    order = jnp.argsort(ids)
+    si = ids[order]
+    sg = jnp.take(g, order, axis=0)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), si[1:] != si[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    summed = jax.ops.segment_sum(sg, seg, num_segments=n)
+    rep = jax.ops.segment_max(si, seg, num_segments=n)
+    count = seg[-1] + 1
+    valid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] < count
+    return rep, summed, valid
+
+
 @jax.custom_vjp
 def _gather_packed(bank, phys_ids):
     return bank[phys_ids]
@@ -108,17 +135,8 @@ def _gather_packed_bwd(res, g):
     """
     bank_shape, phys_ids = res
     n = int(np.prod(phys_ids.shape)) if phys_ids.shape else 1
-    ids = phys_ids.reshape(n)
-    gf = g.reshape(n, bank_shape[1])
-    order = jnp.argsort(ids)
-    si = ids[order]
-    sg = jnp.take(gf, order, axis=0)
-    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), si[1:] != si[:-1]])
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    summed = jax.ops.segment_sum(sg, seg, num_segments=n)
-    rep = jax.ops.segment_max(si, seg, num_segments=n)
-    count = seg[-1] + 1
-    valid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] < count
+    rep, summed, valid = combine_duplicate_rows(
+        phys_ids.reshape(n), g.reshape(n, bank_shape[1]))
     tgt = jnp.where(valid, rep, bank_shape[0])  # out-of-range rows drop
     dbank = jnp.zeros(bank_shape, g.dtype).at[tgt].add(
         summed, indices_are_sorted=True, unique_indices=True, mode="drop")
@@ -128,15 +146,95 @@ def _gather_packed_bwd(res, g):
 _gather_packed.defvjp(_gather_packed_fwd, _gather_packed_bwd)
 
 
+class BankIdCollector:
+    """Trace-time stand-in for the packed bank that records the physical row
+    ids a lookup would gather (and returns zeros for the values).
+
+    Used by :func:`bank_gather_plan` so the Trainer's sparse bank-update modes
+    (train/bank_optimizer.py) learn the exact gather list by running the SAME
+    lookup code the model runs - nothing to keep in sync.  The zero values it
+    returns never reach a kept output, so XLA dead-code-eliminates the fake
+    compute.
+    """
+
+    def __init__(self, shape, dtype):
+        self.shape = tuple(shape)
+        self.dtype = dtype
+        self.ids: list = []
+
+
+class BankRowFeed:
+    """Stand-in for the packed bank holding pre-gathered physical rows.
+
+    The Trainer's sparse bank-update modes gather every row the step needs
+    up front (one fused gather) and differentiate the loss with respect to
+    those rows instead of the full bank - the bank gradient then stays a
+    compact ``[N, row_width]`` tensor and never materializes densely.
+    ``lookup_rows`` consumes slices of ``rows`` in call order, which matches
+    the plan because both are produced by the same lookup code.
+    """
+
+    def __init__(self, rows, shape):
+        self.rows = rows
+        self.shape = tuple(shape)
+        self.dtype = rows.dtype
+        self._pos = 0
+
+    def take(self, n: int):
+        if self._pos + n > self.rows.shape[0]:
+            raise ValueError(
+                "BankRowFeed exhausted: the model gathers more bank rows than "
+                "bank_gather_plan planned. This model is not standard_bank_"
+                "access - use bank_update='dense'.")
+        out = self.rows[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+    def assert_consumed(self):
+        if self._pos != self.rows.shape[0]:
+            raise ValueError(
+                f"BankRowFeed under-consumed ({self._pos} of "
+                f"{self.rows.shape[0]} rows): model lookups do not match "
+                "bank_gather_plan - use bank_update='dense'.")
+
+
 def lookup_rows(params, ids, d: int):
     """Gather logical rows ``ids -> [..., d]`` through the packed layout."""
-    rp = params["bank"].shape[1] // d
+    bank = params["bank"]
+    rp = bank.shape[1] // d
+    if isinstance(bank, BankIdCollector):
+        bank.ids.append((ids if rp == 1 else ids // rp).reshape(-1))
+        return jnp.zeros((*ids.shape, d), bank.dtype)
+    if isinstance(bank, BankRowFeed):
+        n = int(np.prod(ids.shape)) if ids.shape else 1
+        phys = bank.take(n).reshape(*ids.shape, bank.shape[1])
+    elif rp == 1:
+        return _gather_packed(bank, ids)
+    else:
+        phys = _gather_packed(bank, ids // rp)            # [..., rp*d]
     if rp == 1:
-        return _gather_packed(params["bank"], ids)
-    phys = _gather_packed(params["bank"], ids // rp)      # [..., rp*d]
+        return phys
     oh = jax.nn.one_hot(ids % rp, rp, dtype=phys.dtype)   # [..., rp]
     return jnp.einsum("...f,...fd->...d", oh,
                       phys.reshape(*phys.shape[:-1], rp, d))
+
+
+def bank_gather_plan(params, layout: FeatureLayout, batch, dim=None):
+    """Physical row ids :func:`embed_fields` will gather from the packed
+    bank, flattened in consumption order - int32 ``[N]``.
+
+    Computed by running ``embed_fields`` itself against a
+    :class:`BankIdCollector`, so the plan is correct by construction for any
+    model whose only packed-bank access is one ``embed_fields`` call
+    (``standard_bank_access`` models; see train/bank_optimizer.py).
+    """
+    col = BankIdCollector(params["bank"].shape, params["bank"].dtype)
+    fake = dict(params)
+    fake["bank"] = col
+    embed_fields(fake, layout, batch, dim)
+    if not col.ids:
+        return jnp.zeros((0,), jnp.int32)
+    return col.ids[0] if len(col.ids) == 1 else jnp.concatenate(col.ids)
 
 
 def _small_lookup(small_bank, ids):
@@ -230,10 +328,18 @@ def embed_fields(params, layout: FeatureLayout, batch, dim=None):
 
 
 def l2_loss(params, l2: float):
-    """Full-table L2, matching reference basemodel.py:519-535."""
+    """Full-table L2, matching reference basemodel.py:519-535.
+
+    When the packed bank is substituted by a sparse-update stand-in
+    (BankRowFeed/BankIdCollector), its term is omitted here: the Trainer's
+    fused/lazy bank optimizers account for the bank's L2 analytically
+    (train/bank_optimizer.py) - the side bank's term stays in the loss.
+    """
     if l2 <= 0.0:
         return 0.0
-    loss = l2 * jnp.sum(jnp.square(params["bank"]))
+    loss = 0.0
+    if not isinstance(params["bank"], (BankIdCollector, BankRowFeed)):
+        loss = l2 * jnp.sum(jnp.square(params["bank"]))
     if "small" in params:
         loss = loss + l2 * jnp.sum(jnp.square(params["small"]))
     return loss

@@ -34,6 +34,12 @@ def combined_dnn_input(sparse_emb, dense, dense_dim: int):
 class ZooBase:
     """Common config/params for single-task baselines (engine A models)."""
 
+    # every ZooBase model reads the packed bank through exactly one
+    # embed_fields(p["emb"]) call (_embed below), so the Trainer's sparse
+    # bank-update modes apply (train/bank_optimizer.py).  AdaSparse opts out
+    # (extra lookup_field on the same bank, zoo.py).
+    standard_bank_access = True
+
     layout: FeatureLayout
     domain_col: str | None = None
     num_domains: int | None = None

@@ -33,6 +33,10 @@ from .common import combined_dnn_input
 
 @dataclasses.dataclass
 class _MTLBase:
+    # one embed_fields(p["emb"]) per apply -> sparse bank-update eligible
+    # (train/bank_optimizer.py)
+    standard_bank_access = True
+
     layout: FeatureLayout
     num_tasks: int = 2
     domain_col: str | None = None

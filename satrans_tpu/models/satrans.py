@@ -50,6 +50,11 @@ from ..nn import attention, core, initializers as init, metanet
 
 @dataclasses.dataclass
 class SATrans:
+    # the only packed-bank access is one embed_fields(p["emb"]) call, so the
+    # Trainer's sparse bank-update modes apply (train/bank_optimizer.py);
+    # the multi-column variant's domain_bank is a separate real bank.
+    standard_bank_access = True
+
     layout: FeatureLayout
     domain_cols: Sequence[str]
     num_domains_list: Sequence[int]

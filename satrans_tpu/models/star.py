@@ -36,6 +36,10 @@ from .common import combined_dnn_input
 
 @dataclasses.dataclass
 class StarNet:
+    # one embed_fields(p["emb"]) per apply -> sparse bank-update eligible
+    # (train/bank_optimizer.py)
+    standard_bank_access = True
+
     layout: FeatureLayout
     domain_col: str = ""
     num_domains: int = 3

@@ -195,10 +195,13 @@ def mdr_interacting_v2_apply(p, x, domain_onehot, query_weights,
 def attn_regularization_loss(query_weights, domain_ids, num_domains: int):
     """Starv2's aux loss (star_trans.py:849-852): per-domain mean mixture
     weights (segment mean, ids 1..D), penalize std-across-domains below 1:
-    ``(std + |std|).sum() / (2*nbases)`` with ``std = 1 - sqrt(var + 1e-4)``."""
+    ``(std + |std|).sum() / (2*nbases)`` with ``std = 1 - sqrt(var + 1e-4)``.
+
+    Variance across domains is unbiased (ddof=1) to match torch's
+    ``attn_score.var(0)`` default (star_trans.py:851)."""
     per_domain = segment.segment_mean(query_weights, domain_ids,
                                       num_segments=num_domains + 1)[1:]
-    var = jnp.var(per_domain, axis=0)
+    var = jnp.var(per_domain, axis=0, ddof=1)
     std = 1.0 - jnp.sqrt(var + 1e-4)
     return jnp.sum(std + jnp.abs(std)) / (2 * query_weights.shape[-1])
 
@@ -209,6 +212,10 @@ def attn_regularization_loss(query_weights, domain_ids, num_domains: int):
 
 @dataclasses.dataclass
 class _LegacyBase:
+    # one embed_fields(p["emb"]) per apply -> sparse bank-update eligible
+    # (train/bank_optimizer.py)
+    standard_bank_access = True
+
     layout: FeatureLayout
     domain_col: str = ""
     num_domains: int = 3
@@ -378,9 +385,14 @@ class Starv2Trans(_LegacyBase):
             for dp in params["weight_dnns"]]
         # attention-regularization aux loss (star_trans.py:874-876):
         # scaled by attn_batch_reg * batch_size in add_auxiliary_loss.
+        # The batch size is the REAL sample count: the Trainer zero-pads the
+        # tail batch and passes its 0/1 mask as batch["_weight"]; the
+        # reference trains on a genuinely smaller tail batch.
         regs = [attn_regularization_loss(w, ids, self.num_domains)
                 for w in weights_list]
-        aux = jnp.mean(jnp.stack(regs)) * self.attn_batch_reg * x.shape[0]
+        n_real = (jnp.sum(batch["_weight"]) if "_weight" in batch
+                  else x.shape[0])
+        aux = jnp.mean(jnp.stack(regs)) * self.attn_batch_reg * n_real
         for i, lp in enumerate(params["domain_int_layers"]):
             w = weights_list[i] if len(weights_list) > 1 else weights_list[0]
             x = mdr_interacting_v2_apply(lp, x, onehot, w, self.att_head_num,

@@ -513,6 +513,10 @@ class FiBiNET(ZooBase):
 
 @dataclasses.dataclass
 class AdaSparse(ZooBase):
+    # reads the scenario embedding via an extra lookup_field on the packed
+    # bank (see apply), so the single-embed_fields gather plan does not hold.
+    standard_bank_access = False
+
     dnn_hidden_units: Sequence[int] = (256, 128)
     dnn_dropout: float = 0.0
     domain_emb_dim: int = 32

@@ -137,8 +137,14 @@ def mlp_init(key, in_dim: int, hidden_units: Sequence[int], *,
 
 def mlp_apply(p, x, *, act: str = "relu", dropout_rate: float = 0.0,
               train: bool = False, rng=None, final_activation: bool = True,
-              bn_state=None, bn_momentum: float = 0.1):
-    """Forward pass; returns ``y`` (or ``(y, new_bn_state)`` if BN is used)."""
+              bn_state=None, bn_momentum: float = 0.1, batch_weight=None):
+    """Forward pass; returns ``y`` (or ``(y, new_bn_state)`` if BN is used).
+
+    ``batch_weight``: optional ``[B]`` 0/1 mask excluding zero-padded tail
+    rows from train-mode BN batch statistics (the Trainer exposes its pad
+    mask as ``batch["_weight"]``) - the reference trains on a genuinely
+    smaller tail batch, so padded rows must not pollute running stats.
+    """
     fn = activation(act)
     layers = p["layers"]
     use_bn = "bn" in p
@@ -148,7 +154,8 @@ def mlp_apply(p, x, *, act: str = "relu", dropout_rate: float = 0.0,
         is_final = i == len(layers) - 1
         if use_bn and i < len(p["bn"]):
             x, s = batch_norm_apply(p["bn"][i], bn_state[i] if bn_state else None,
-                                    x, train=train, momentum=bn_momentum)
+                                    x, train=train, momentum=bn_momentum,
+                                    batch_weight=batch_weight)
             new_bn.append(s)
         if final_activation or not is_final:
             x = fn(x)

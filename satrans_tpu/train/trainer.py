@@ -114,12 +114,31 @@ class Trainer:
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss="binary_crossentropy",
                 metrics: Sequence[str] = ("binary_crossentropy", "auc"),
-                learning_rate: float = 0.001):
+                learning_rate: float = 0.001, bank_update: str = "auto"):
         """Keras-style compile (reference basemodel.py:540-552).
 
         ``optimizer``: 'adam'/'sgd'/'adagrad'/'rmsprop' (torch-default
         hyperparameters, basemodel.py:554-568) or any optax transform.
+
+        ``bank_update`` selects the embedding-bank update path
+        (train/bank_optimizer.py):
+
+        * ``'auto'`` (default): ``'fused'`` where eligible (Adam + a
+          ``standard_bank_access`` model), else ``'dense'``.
+        * ``'fused'``: sparse bank gradient + analytic-L2 dense Adam pass +
+          touched-row correction - numerically identical to 'dense', ~2x
+          less HBM traffic per step.
+        * ``'lazy'``: touched-rows-only sparse Adam with decayed moments and
+          decoupled lazy L2 - a DOCUMENTED DEVIATION from reference
+          semantics (PARITY.md), fastest.
+        * ``'dense'``: the faithful round-1 path (works for every model and
+          optimizer).
         """
+        if bank_update not in ("auto", "dense", "fused", "lazy"):
+            raise ValueError(f"unknown bank_update {bank_update!r}")
+        self.bank_update = bank_update
+        self._opt_is_adam = optimizer == "adam"
+        self._lr = float(learning_rate)
         if isinstance(optimizer, str):
             opt = {
                 "adam": lambda: optax.adam(learning_rate, b1=0.9, b2=0.999,
@@ -151,23 +170,57 @@ class Trainer:
     def _build_steps(self):
         model = self.model
         strategy = self._strategy
+        bank_mode = getattr(self, "_bank_mode", "dense")
 
-        def train_step(params, opt_state, state, batch, y, weight, rng):
-            def loss_fn(p):
-                pred, new_state, aux = model.apply(p, state, batch,
-                                                   train=True, rng=rng)
-                data_loss = strategy.loss(pred, y, batch, weight)
-                reg = model.reg_loss(p)
-                total = data_loss + reg + aux
-                return total, (new_state, data_loss, reg, aux)
+        if bank_mode in ("fused", "lazy"):
+            from . import bank_optimizer
 
-            grads, (new_state, data_loss, reg, aux) = jax.grad(
-                loss_fn, has_aux=True)(params)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            stats = {"loss": data_loss, "reg_loss": reg, "aux_loss": aux,
-                     "count": jnp.sum(weight)}
-            return params, opt_state, new_state, stats
+            l2 = float(model.l2_reg_embedding)
+            lr = self._lr
+
+            def train_step(params, opt_state, state, batch, y, weight, rng):
+                # models that need the real (unpadded) sample count or pad
+                # mask read it from the batch (e.g. Starv2 aux loss, BN)
+                batch = dict(batch, _weight=weight)
+                (flat_ids, g_rows, g_rest, new_state, data_loss, reg,
+                 aux) = bank_optimizer.sparse_bank_grads(
+                    model, strategy, params, state, batch, y, weight, rng)
+                if bank_mode == "fused":
+                    # reg stat includes the bank term (parity with 'dense'
+                    # reporting); XLA fuses the read into the Adam pass.
+                    reg = reg + l2 * jnp.sum(
+                        jnp.square(params["emb"]["bank"]))
+                    params, opt_state = bank_optimizer.fused_update(
+                        self.optimizer, params, opt_state, flat_ids, g_rows,
+                        g_rest, lr=lr, l2=l2)
+                else:
+                    # lazy: bank L2 applied as decoupled decay, not reported
+                    params, opt_state = bank_optimizer.lazy_update(
+                        self.optimizer, params, opt_state, flat_ids, g_rows,
+                        g_rest, lr=lr, l2=l2)
+                stats = {"loss": data_loss, "reg_loss": reg, "aux_loss": aux,
+                         "count": jnp.sum(weight)}
+                return params, opt_state, new_state, stats
+        else:
+            def train_step(params, opt_state, state, batch, y, weight, rng):
+                batch = dict(batch, _weight=weight)
+
+                def loss_fn(p):
+                    pred, new_state, aux = model.apply(p, state, batch,
+                                                       train=True, rng=rng)
+                    data_loss = strategy.loss(pred, y, batch, weight)
+                    reg = model.reg_loss(p)
+                    total = data_loss + reg + aux
+                    return total, (new_state, data_loss, reg, aux)
+
+                grads, (new_state, data_loss, reg, aux) = jax.grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                stats = {"loss": data_loss, "reg_loss": reg, "aux_loss": aux,
+                         "count": jnp.sum(weight)}
+                return params, opt_state, new_state, stats
 
         def eval_step(params, state, batch):
             pred, _, _ = model.apply(params, state, batch, train=False)
@@ -199,6 +252,28 @@ class Trainer:
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def _resolve_bank_mode(self):
+        """Pick the bank-update path (see compile); needs initialized params."""
+        from . import bank_optimizer
+        mode = getattr(self, "bank_update", "auto")
+        elig = (self._opt_is_adam
+                and bank_optimizer.eligible(self.model, self.params))
+        if mode == "auto":
+            # 'dense' until the duplicate-combine redesign makes 'fused'
+            # measurably faster on-chip (bench/bank_modes.py: the argsort +
+            # segment_sum combine currently dominates every sparse variant).
+            mode = "dense"
+        elif mode in ("fused", "lazy") and not elig:
+            raise ValueError(
+                f"bank_update={mode!r} needs the stock 'adam' optimizer and "
+                "a standard_bank_access model "
+                f"({type(self.model).__name__} is not)")
+        if mode == "lazy" and self.mesh is not None:
+            raise ValueError("bank_update='lazy' does not support a mesh "
+                             "(its opt state is not shardable by place()); "
+                             "use 'fused'")
+        self._bank_mode = mode
+
     def _ensure_initialized(self):
         if self.params is None:
             key = jax.random.PRNGKey(self.seed)
@@ -207,7 +282,13 @@ class Trainer:
                 from ..parallel import sharding as shlib
                 self.params = shlib.pad_banks(self.params,
                                               self.mesh.devices.size)
-            self.opt_state = self.optimizer.init(self.params)
+            self._resolve_bank_mode()
+            if self._bank_mode == "lazy":
+                from . import bank_optimizer
+                self.opt_state = bank_optimizer.lazy_init(self.optimizer,
+                                                          self.params)
+            else:
+                self.opt_state = self.optimizer.init(self.params)
             if self.mesh is not None:
                 from ..parallel import sharding as shlib
                 self.params, self.opt_state, self.state = shlib.place(

@@ -1,0 +1,187 @@
+"""Sparse embedding-bank optimizer modes (train/bank_optimizer.py).
+
+``fused`` must be numerically identical to the faithful ``dense`` path
+(same formulas, same duplicate-combine order) for every strategy; ``lazy``
+must match dense exactly when every physical bank row is touched every step
+at l2=0 (its deviations only concern untouched rows / the L2 channel).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from satrans_tpu import embeddings
+from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+from satrans_tpu.features import FeatureLayout, SparseFeature
+from satrans_tpu.models import MMOE, AdaSparse, DeepFM, SATrans
+from satrans_tpu.train import Trainer
+
+
+def _satrans_setup(n=600, l2=1e-4):
+    cols = synthetic_columns(num_sparse=4, vocab=400, dim=8, num_varlen=1)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=n, num_sparse=4, vocab=400, num_varlen=1)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=2,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=l2)
+    return model, x, y
+
+
+def _fit(model, x, y, bank_update, *, lr=0.01, batch=256, epochs=1,
+         scan_steps=1):
+    tr = Trainer(model, seed=7)
+    tr.compile(learning_rate=lr, bank_update=bank_update)
+    tr.fit(x, y, batch_size=batch, epochs=epochs, shuffle=False, verbose=0,
+           scan_steps=scan_steps)
+    return tr
+
+
+def _assert_tree_close(a, b, atol=1e-6, rtol=1e-5):
+    fa, _ = jax.tree_util.tree_flatten(a)
+    fb, _ = jax.tree_util.tree_flatten(b)
+    assert len(fa) == len(fb)
+    for la, lb in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=atol, rtol=rtol)
+
+
+def test_gather_plan_matches_embed_fields():
+    """The plan gathers exactly the rows embed_fields gathers, in order."""
+    model, x, y = _satrans_setup(n=64)
+    layout = model.layout
+    params, _ = model.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    plan = embeddings.bank_gather_plan(params["emb"], layout, batch)
+    rows = jnp.take(params["emb"]["bank"], plan, axis=0)
+    feed = embeddings.BankRowFeed(rows, params["emb"]["bank"].shape)
+    fed = embeddings.embed_fields(
+        dict(params["emb"], bank=feed), layout, batch)
+    feed.assert_consumed()
+    ref = embeddings.embed_fields(params["emb"], layout, batch)
+    np.testing.assert_allclose(np.asarray(fed), np.asarray(ref), atol=1e-7)
+
+
+def test_fused_equals_dense_satrans():
+    """fused == dense through a fit with l2>0, varlen, and a tail batch."""
+    model, x, y = _satrans_setup()
+    tr_d = _fit(model, x, y, "dense")
+    tr_f = _fit(model, x, y, "fused")
+    assert tr_f._bank_mode == "fused" and tr_d._bank_mode == "dense"
+    _assert_tree_close(tr_d.params, tr_f.params)
+    _assert_tree_close(tr_d.opt_state, tr_f.opt_state)
+    # predictions agree too
+    np.testing.assert_allclose(tr_d.predict(x, 256), tr_f.predict(x, 256),
+                               atol=1e-6)
+
+
+def test_fused_equals_dense_scan_path():
+    model, x, y = _satrans_setup(n=512)
+    tr_d = _fit(model, x, y, "dense", scan_steps=2)
+    tr_f = _fit(model, x, y, "fused", scan_steps=2)
+    _assert_tree_close(tr_d.params, tr_f.params)
+
+
+def test_fused_equals_dense_zoo_and_mtl():
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=500, num_sparse=3, vocab=300)
+    for model in (DeepFM(layout=layout),
+                  MMOE(layout=layout, num_tasks=3, domain_col="domain")):
+        tr_d = _fit(model, x, y, "dense")
+        tr_f = _fit(model, x, y, "fused")
+        _assert_tree_close(tr_d.params, tr_f.params)
+
+
+def test_auto_resolves_to_dense_for_now():
+    # auto stays 'dense' until the sparse combine is faster on-chip
+    # (see Trainer._resolve_bank_mode)
+    model, x, y = _satrans_setup(n=64)
+    tr = Trainer(model, seed=0)
+    tr.compile(bank_update="auto")
+    tr._strategy = tr._resolve_strategy(None)
+    tr._ensure_initialized()
+    assert tr._bank_mode == "dense"
+    import optax
+    tr2 = Trainer(model, seed=0)
+    tr2.compile(optimizer=optax.adam(1e-3))  # custom transform -> dense
+    tr2._strategy = tr2._resolve_strategy(None)
+    tr2._ensure_initialized()
+    assert tr2._bank_mode == "dense"
+
+
+def test_non_standard_model_rejected():
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    model = AdaSparse(layout=layout, domain_col="domain", num_domains=3,
+                      domain_emb_dim=8)
+    tr = Trainer(model, seed=0)
+    tr.compile(bank_update="fused")
+    tr._strategy = tr._resolve_strategy(None)
+    with pytest.raises(ValueError, match="standard_bank_access"):
+        tr._ensure_initialized()
+    # auto quietly falls back
+    tr2 = Trainer(model, seed=0)
+    tr2.compile(bank_update="auto")
+    tr2._strategy = tr2._resolve_strategy(None)
+    tr2._ensure_initialized()
+    assert tr2._bank_mode == "dense"
+
+
+def test_lazy_matches_dense_when_all_rows_touched_l2_zero():
+    """Every physical row touched every step + l2=0 -> lazy == dense.
+
+    dim=8 packs 16 logical rows per physical row; a 512-example uniform
+    batch over vocab 300 covers all 19 physical rows per field with
+    probability ~1 (and the fixed seed makes it deterministic).
+    """
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=1024, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=0.0)
+    tr_d = _fit(model, x, y, "dense", batch=512)
+    tr_l = _fit(model, x, y, "lazy", batch=512)
+    np.testing.assert_allclose(np.asarray(tr_d.params["emb"]["bank"]),
+                               np.asarray(tr_l.params["emb"]["bank"]),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(tr_d.predict(x, 512), tr_l.predict(x, 512),
+                               atol=1e-6)
+
+
+def test_lazy_trains_with_l2():
+    """Smoke: lazy mode with decoupled L2 learns and stays finite."""
+    model, x, y = _satrans_setup(n=1024, l2=1e-5)
+    tr = _fit(model, x, y, "lazy", batch=256, epochs=2)
+    pred = tr.predict(x, 512)
+    assert np.isfinite(pred).all()
+    from satrans_tpu.train import metrics
+    assert metrics.auc(y, pred) > 0.55
+
+
+def test_fused_under_mesh_matches_dense():
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    model, x, y = _satrans_setup(n=512)
+    tr_d = _fit(model, x, y, "dense")
+    tr_m = Trainer(model, mesh=mesh, shard_embeddings=True, seed=7)
+    tr_m.compile(learning_rate=0.01, bank_update="fused")
+    tr_m.fit(x, y, batch_size=256, epochs=1, shuffle=False, verbose=0)
+    assert tr_m._bank_mode == "fused"
+    # mesh pads the bank rows; compare the common prefix
+    bank_d = np.asarray(tr_d.params["emb"]["bank"])
+    bank_m = np.asarray(tr_m.params["emb"]["bank"])[:bank_d.shape[0]]
+    np.testing.assert_allclose(bank_d, bank_m, atol=1e-5, rtol=1e-5)
+
+
+def test_lazy_rejects_mesh():
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    model, _, _ = _satrans_setup(n=64)
+    tr = Trainer(model, mesh=mesh, seed=0)
+    tr.compile(bank_update="lazy")
+    tr._strategy = tr._resolve_strategy(None)
+    with pytest.raises(ValueError, match="lazy"):
+        tr._ensure_initialized()
