@@ -82,7 +82,8 @@ def config_str(args, domain_col: str, flag: str) -> str:
 
 def load_dataset(args, flag: str, domain_col: str):
     """Returns (train, test, labels_name, sparse, dense, varlen, data_max,
-    topk)."""
+    topk, extras) - ``extras`` carries dataset-derived artifacts (the
+    sparseprice label-encoder classes, main.py:148-153, 335)."""
     from ..data import aliccp, alimama, synthetic
 
     if args.data_name == "alicpp":
@@ -101,29 +102,43 @@ def load_dataset(args, flag: str, domain_col: str):
         if train["301"].min() == 0:
             train["301"] = train["301"] + 1
             test["301"] = test["301"] + 1
+        # scenario distribution diagnostics at load (main.py:116-117)
+        if "-" not in domain_col:
+            import pandas as pd
+            print(pd.Series(train[domain_col]).value_counts())
+            print(pd.Series(test[domain_col]).value_counts())
         data_max = dict(aliccp.DATA_MAX)
-        return train, test, labels, sparse, dense, var_features, data_max, topk
+        return (train, test, labels, sparse, dense, var_features, data_max,
+                topk, {})
 
     if args.data_name == "alimama":
         labels = "clk"
+        extras = {}
         sparse = list(alimama.SPARSE_FEATURES)
         data = alimama.load(os.path.join(args.data_path, "alimama.h5"))
         if "sparseprice" in flag:
             print("transform price")
             sparse = sparse + ["price"]
             dense = []
-            # label-encode price (main.py:148-153)
+            # label-encode price (main.py:148-153); the encoder's classes
+            # decode price ids in the instattn dump (main.py:335,
+            # meta_basemodel.py:475)
             vals, inv = np.unique(data["price"], return_inverse=True)
             data["price"] = inv.astype(np.int64)
+            extras = {"price_classes": vals}
         else:
             dense = ["price"]
             p = data["price"].astype(np.float64)
             lo, hi = p.min(), p.max()
             data["price"] = ((p - lo) / (hi - lo if hi > lo else 1.0)
                              ).astype(np.float32)
+        # scenario distribution diagnostics at load (main.py:159-160)
+        if "-" not in domain_col:
+            import pandas as pd
+            print(pd.Series(data[domain_col]).value_counts())
         train, test = alimama.split_by_time(data)
         data_max = {k: int(v.max()) for k, v in data.items()}
-        return train, test, labels, sparse, dense, [], data_max, 3
+        return train, test, labels, sparse, dense, [], data_max, 3, extras
 
     if args.data_name == "synthetic":
         labels = "click"
@@ -137,7 +152,7 @@ def load_dataset(args, flag: str, domain_col: str):
         train = {k: v[:n_train] for k, v in x.items()}
         test = {k: v[n_train:] for k, v in x.items()}
         data_max = {k: int(x[k].max()) for k in sparse}
-        return train, test, labels, sparse, [], [], data_max, 3
+        return train, test, labels, sparse, [], [], data_max, 3, {}
 
     raise NotImplementedError(f"unknown data_name {args.data_name}")
 
@@ -220,8 +235,8 @@ def main(argv=None):
         domain_col = default_domain_col[args.data_name.split("_")[0]]
     domain_col_list = domain_col.split("-")
 
-    train, test, target, sparse, dense, var_features, data_max, topk = \
-        load_dataset(args, flag, domain_col)
+    (train, test, target, sparse, dense, var_features, data_max, topk,
+     extras) = load_dataset(args, flag, domain_col)
 
     num_domains_list = [
         max(len(np.unique(train[c])), data_max[c]) for c in domain_col_list]
@@ -272,6 +287,7 @@ def main(argv=None):
                 epochs=args.epochs, verbose=1, scan_steps=args.scan_steps,
                 callbacks=fit_callbacks)
 
+    os.makedirs(args.results_dir, exist_ok=True)
     if "showattn" in flag and hasattr(model, "domain_cols"):
         from ..train.attention_probe import predict_with_attention
         pred, attn_stats = predict_with_attention(
@@ -281,10 +297,20 @@ def main(argv=None):
     else:
         pred = trainer.predict(test_x, test_batch_size)
     if "instattn" in flag and hasattr(model, "domain_cols"):
-        from ..train.attention_probe import dump_instance_attention
-        dump_instance_attention(trainer, test_x, batch_size=test_batch_size,
-                                out_prefix=os.path.join(args.results_dir,
-                                                        "inst_attn"))
+        if args.data_name == "alimama" and "sparseprice" in flag:
+            # byte-format parity with the reference's Alimama dump
+            # (meta_basemodel.py:460-499, price decode main.py:335)
+            from ..train.attention_probe import \
+                dump_instance_attention_reference
+            dump_instance_attention_reference(
+                trainer, test_x, test[target], flag=flag,
+                classes_=extras.get("price_classes"),
+                batch_size=test_batch_size, out_dir=args.results_dir)
+        else:
+            from ..train.attention_probe import dump_instance_attention
+            dump_instance_attention(
+                trainer, test_x, batch_size=test_batch_size,
+                out_prefix=os.path.join(args.results_dir, "inst_attn"))
 
     test_auc = round(metrics.auc(test[target], pred), 4)
     test_loss = metrics.log_loss(test[target], pred)

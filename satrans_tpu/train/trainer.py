@@ -514,6 +514,17 @@ class Trainer:
         if self._strategy is None:
             self._strategy = self._resolve_strategy(x)
         self._ensure_initialized()
+        # engine C recomputes the head-routing bias from the PREDICT data
+        # (reference mtl_basemodel.py:352: ``bias = x[domain_column].min()``),
+        # not the fit-time offset; rebuild the jitted steps if it moved.
+        dcol = getattr(self.model, "domain_col", None)
+        if isinstance(self._strategy, DomainRouted) and dcol and dcol in x:
+            off = int(np.min(x[dcol]))
+            if off != self._strategy.offset:
+                self._strategy.offset = off
+                if hasattr(self.model, "set_domain_offset"):
+                    self.model.set_domain_offset(off)
+                self._build_steps()
         if self._eval_step is None:
             self._build_steps()
         data = self.layout.batch_from_dict(x)
