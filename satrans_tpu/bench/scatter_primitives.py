@@ -51,22 +51,26 @@ def main():
     }
 
     def timed(name, body, *names):
-        """body(i, *tensors) -> one tensor; looped REPS times in-jit."""
+        """body(i, *tensors) -> one tensor; looped REPS times in-jit.
+
+        The jit returns ONE SCALAR (sum of the final carry): fetching the
+        full result through the axon tunnel costs seconds per 100 MB and
+        was swamping every measurement - the fence must move 4 bytes.
+        """
         tensors = [args[n] for n in names]
 
         def run(*ts):
             def it(i, carry):
                 return body(i, carry, *ts[1:])
-            return lax.fori_loop(0, REPS, it, ts[0])
+            out = lax.fori_loop(0, REPS, it, ts[0])
+            return jnp.sum(jax.tree_util.tree_leaves(out)[0])
 
         f = jax.jit(run)
-        out = f(*tensors)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]  # fence
+        float(f(*tensors))  # compile + warm
         t0 = time.time()
-        out = f(*tensors)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        s = float(f(*tensors))  # scalar device->host fence
         dt = (time.time() - t0) / REPS * 1e3
-        log(f"{name:58s} {dt:8.2f} ms")
+        log(f"{name:58s} {dt:8.2f} ms   (sum {s:.3e})")
         return dt
 
     log(f"bank [{R},{W}] = {R*W*4/1e9:.2f} GB; N={N} ({F}x{B}); "

@@ -93,16 +93,25 @@ def _overwrite(arr, tgt, vals):
                            unique_indices=True)
 
 
-def sparse_bank_grads(model, strategy, params, state, batch, y, weight, rng):
+def sparse_bank_grads(model, strategy, params, state, batch, y, weight, rng,
+                      gather_fn=None):
     """Differentiate the step loss with the bank gradient kept sparse.
 
     Returns ``(flat_ids, g_rows, g_rest, new_state, data_loss, reg, aux)``
     where ``reg`` EXCLUDES the packed bank's L2 term (handled analytically
     by the caller) and ``g_rest`` is the gradient for every other param.
+
+    ``gather_fn(bank, flat_ids) -> rows`` overrides the row read - the
+    Trainer injects the explicit all-to-all exchange here when
+    ``embedding_exchange='alltoall'`` (parallel/embedding_sharded.py);
+    the default leaves the sharded gather to XLA SPMD.
     """
     rest, bank = _split_bank(params)
     flat_ids = embeddings.bank_gather_plan(params["emb"], model.layout, batch)
-    rows = jnp.take(bank, flat_ids, axis=0)
+    if gather_fn is None:
+        rows = jnp.take(bank, flat_ids, axis=0)
+    else:
+        rows = gather_fn(bank, flat_ids)
 
     def loss_fn(rest_, rows_):
         feed = embeddings.BankRowFeed(rows_, bank.shape)

@@ -97,11 +97,24 @@ class DomainRouted:
 
 class Trainer:
     def __init__(self, model, *, mesh=None, shard_embeddings: bool = False,
-                 seed: int = 1024):
+                 embedding_exchange: str = "xla", seed: int = 1024):
+        """``embedding_exchange``: how a row-sharded bank is read in the
+        sparse bank-update modes - ``'xla'`` (default) leaves the gather to
+        the SPMD partitioner; ``'alltoall'`` uses the explicit two-round
+        exchange (parallel/embedding_sharded.alltoall_lookup, exact
+        capacity).  Requires ``mesh`` + ``shard_embeddings``."""
+        if embedding_exchange not in ("xla", "alltoall"):
+            raise ValueError(f"unknown embedding_exchange "
+                             f"{embedding_exchange!r}")
+        if embedding_exchange == "alltoall" and (mesh is None
+                                                 or not shard_embeddings):
+            raise ValueError("embedding_exchange='alltoall' needs a mesh "
+                             "and shard_embeddings=True")
         self.model = model
         self.layout: FeatureLayout = model.layout
         self.mesh = mesh
         self.shard_embeddings = shard_embeddings
+        self.embedding_exchange = embedding_exchange
         self.seed = int(seed)
         self.stop_training = False
         self.history = cb.History()
@@ -177,6 +190,15 @@ class Trainer:
 
             l2 = float(model.l2_reg_embedding)
             lr = self._lr
+            gather_fn = None
+            if self.embedding_exchange == "alltoall":
+                from ..parallel import embedding_sharded as _es
+                mesh = self.mesh
+
+                def gather_fn(bank, flat_ids):
+                    emb, _ = _es.alltoall_lookup(bank, flat_ids, mesh,
+                                                 capacity_factor=None)
+                    return emb
 
             def train_step(params, opt_state, state, batch, y, weight, rng):
                 # models that need the real (unpadded) sample count or pad
@@ -184,7 +206,8 @@ class Trainer:
                 batch = dict(batch, _weight=weight)
                 (flat_ids, g_rows, g_rest, new_state, data_loss, reg,
                  aux) = bank_optimizer.sparse_bank_grads(
-                    model, strategy, params, state, batch, y, weight, rng)
+                    model, strategy, params, state, batch, y, weight, rng,
+                    gather_fn=gather_fn)
                 if bank_mode == "fused":
                     # reg stat includes the bank term (parity with 'dense'
                     # reporting); XLA fuses the read into the Adam pass.
@@ -272,6 +295,10 @@ class Trainer:
             raise ValueError("bank_update='lazy' does not support a mesh "
                              "(its opt state is not shardable by place()); "
                              "use 'fused'")
+        if self.embedding_exchange == "alltoall" and mode != "fused":
+            raise ValueError("embedding_exchange='alltoall' routes the bank "
+                             "read through the sparse gather plan - compile "
+                             "with bank_update='fused'")
         self._bank_mode = mode
 
     def _ensure_initialized(self):

@@ -185,3 +185,34 @@ def test_lazy_rejects_mesh():
     tr._strategy = tr._resolve_strategy(None)
     with pytest.raises(ValueError, match="lazy"):
         tr._ensure_initialized()
+
+
+def test_fused_alltoall_exchange_matches_dense():
+    """Explicit all-to-all embedding exchange under a sharded mesh trains
+    identically to the faithful dense path."""
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    model, x, y = _satrans_setup(n=512)
+    tr_d = _fit(model, x, y, "dense")
+    tr_m = Trainer(model, mesh=mesh, shard_embeddings=True,
+                   embedding_exchange="alltoall", seed=7)
+    tr_m.compile(learning_rate=0.01, bank_update="fused")
+    tr_m.fit(x, y, batch_size=256, epochs=1, shuffle=False, verbose=0)
+    assert tr_m._bank_mode == "fused"
+    bank_d = np.asarray(tr_d.params["emb"]["bank"])
+    bank_m = np.asarray(tr_m.params["emb"]["bank"])[:bank_d.shape[0]]
+    np.testing.assert_allclose(bank_d, bank_m, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(tr_d.predict(x, 256), tr_m.predict(x, 256),
+                               atol=1e-5)
+
+
+def test_alltoall_requires_fused_and_mesh():
+    model, _, _ = _satrans_setup(n=64)
+    with pytest.raises(ValueError, match="alltoall"):
+        Trainer(model, embedding_exchange="alltoall")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    tr = Trainer(model, mesh=mesh, shard_embeddings=True,
+                 embedding_exchange="alltoall")
+    tr.compile(bank_update="dense")
+    tr._strategy = tr._resolve_strategy(None)
+    with pytest.raises(ValueError, match="fused"):
+        tr._ensure_initialized()

@@ -142,3 +142,79 @@ def test_mesh_with_scan_steps():
     base = run(None, 1)
     # scan_steps=2 is NOT divisible by 8 devices - must still work
     np.testing.assert_allclose(base, run(make_mesh(), 2), atol=2e-5)
+
+
+def test_alltoall_lookup_matches_replicated(rng):
+    from satrans_tpu.parallel.embedding_sharded import alltoall_lookup
+    mesh = make_mesh()
+    R, d, B = 64, 8, 64
+    bank = rng.normal(size=(R, d)).astype(np.float32)
+    ids = rng.integers(0, R, size=B).astype(np.int32)
+    bank_sh = jax.device_put(jnp.asarray(bank),
+                             NamedSharding(mesh, P("data", None)))
+    ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))
+    # exact capacity: any skew is served
+    got, ov = alltoall_lookup(bank_sh, ids_sh, mesh, capacity_factor=None)
+    np.testing.assert_allclose(np.asarray(got), bank[ids], rtol=1e-6)
+    assert np.asarray(ov).sum() == 0
+    # default capacity on 2-D ids (the [B, F] lookup shape)
+    ids2 = rng.integers(0, R, size=(B, 4)).astype(np.int32)
+    ids2_sh = jax.device_put(jnp.asarray(ids2),
+                             NamedSharding(mesh, P("data", None)))
+    got2, ov2 = alltoall_lookup(bank_sh, ids2_sh, mesh)
+    np.testing.assert_allclose(np.asarray(got2), bank[ids2], rtol=1e-6)
+    assert np.asarray(ov2).sum() == 0
+
+
+def test_alltoall_lookup_duplicates_and_skew(rng):
+    """Duplicate-heavy batches dedup to one request per row; total ownership
+    skew beyond capacity overflows loudly (zeros + a count), exact mode
+    serves it."""
+    from satrans_tpu.parallel.embedding_sharded import alltoall_lookup
+    mesh = make_mesh()
+    R, d, B = 64, 8, 64
+    bank = rng.normal(size=(R, d)).astype(np.float32)
+    bank_sh = jax.device_put(jnp.asarray(bank),
+                             NamedSharding(mesh, P("data", None)))
+    # all ids identical: after dedup a single request -> within any capacity
+    ids = np.full(B, 37, np.int32)
+    ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))
+    got, ov = alltoall_lookup(bank_sh, ids_sh, mesh, capacity_factor=1.0)
+    np.testing.assert_allclose(np.asarray(got), bank[ids], rtol=1e-6)
+    assert np.asarray(ov).sum() == 0
+    # adversarial: every DISTINCT id owned by device 0 (rows 0..7), local
+    # batch of 8 distinct -> needs C=8, capacity_factor=1 gives C=1
+    ids = np.tile(np.arange(8, dtype=np.int32), B // 8)
+    ids = np.sort(ids)  # each device shard holds one distinct id... spread:
+    ids = np.concatenate([np.arange(8, dtype=np.int32)] * (B // 8))
+    ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))
+    got, ov = alltoall_lookup(bank_sh, ids_sh, mesh, capacity_factor=1.0)
+    assert np.asarray(ov).sum() > 0  # overflow detected, not silent
+    got, ov = alltoall_lookup(bank_sh, ids_sh, mesh, capacity_factor=None)
+    np.testing.assert_allclose(np.asarray(got), bank[ids], rtol=1e-6)
+    assert np.asarray(ov).sum() == 0
+
+
+def test_alltoall_lookup_gradients(rng):
+    """d(loss)/d(bank) through the exchange == the replicated gather's."""
+    from satrans_tpu.parallel.embedding_sharded import alltoall_lookup
+    mesh = make_mesh()
+    R, d, B = 64, 8, 64
+    bank = rng.normal(size=(R, d)).astype(np.float32)
+    ids = rng.integers(0, R, size=B).astype(np.int32)
+    w = rng.normal(size=(B, d)).astype(np.float32)
+    bank_sh = jax.device_put(jnp.asarray(bank),
+                             NamedSharding(mesh, P("data", None)))
+    ids_sh = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))
+    w_sh = jax.device_put(jnp.asarray(w), NamedSharding(mesh, P("data")))
+
+    def loss_a2a(b):
+        emb, _ = alltoall_lookup(b, ids_sh, mesh, capacity_factor=None)
+        return jnp.sum(emb * w_sh)
+
+    def loss_rep(b):
+        return jnp.sum(b[ids] * jnp.asarray(w))
+
+    g_a2a = np.asarray(jax.grad(loss_a2a)(bank_sh))
+    g_rep = np.asarray(jax.grad(loss_rep)(jnp.asarray(bank)))
+    np.testing.assert_allclose(g_a2a, g_rep, atol=1e-5)
