@@ -150,6 +150,107 @@ def main():
     timed("dense elementwise pass over bank (1 array rw)", adam_pass,
           "bank")
 
+    # --- scatter cost scaling: index count vs payload bytes ---------------
+    # If per-INDEX dominated, merging the bank/mu/nu scatters (same ids)
+    # into one wide payload is a ~3x win for the fused/lazy updates.
+    args["bank3"] = jax.device_put(np.zeros((R, 3 * W), np.float32))
+    args["g3"] = jax.device_put(
+        rng.normal(size=(N, 3 * W)).astype(np.float32))
+    args["g8k"] = jax.device_put(
+        rng.normal(size=(N // 10, W)).astype(np.float32))
+    args["ids8k_sorted"] = jax.device_put(np.sort(ids_np[:N // 10]))
+    args["map_r"] = jax.device_put(np.zeros((R,), np.int32))
+    timed("scatter-SET sorted unique [N,384] -> bank3 (3x payload)",
+          lambda i, b, ids, g: b.at[ids].set(
+              g + i, mode="drop", indices_are_sorted=True,
+              unique_indices=True), "bank3", "ids_sorted", "g3")
+    timed("scatter-SET sorted unique N/10 rows [8192,128]",
+          lambda i, b, ids, g: b.at[ids].set(
+              g + i, mode="drop", indices_are_sorted=True,
+              unique_indices=True), "bank", "ids8k_sorted", "g8k")
+    timed("scatter-SET int32 slot map [N] -> [R]",
+          lambda i, m, ids: m.at[ids].set(
+              lax.iota(jnp.int32, N) + i, mode="drop",
+              indices_are_sorted=True, unique_indices=True),
+          "map_r", "ids_sorted")
+
+    # dense-merge rebuild: slot map + one dense pass with a gather from the
+    # compact rows table (scatter-free row overwrite)
+    def dense_merge(i, b, ids, g):
+        slot = jnp.full((R,), -1, jnp.int32).at[ids].set(
+            lax.iota(jnp.int32, N), mode="drop",
+            indices_are_sorted=True, unique_indices=True)
+        vals = jnp.take(g + i, slot.clip(0), axis=0)
+        return jnp.where((slot >= 0)[:, None], vals, b)
+    timed("dense-merge rebuild (map scatter + where pass)", dense_merge,
+          "bank", "ids_sorted", "g")
+
+    # one-shot fused adam over bank+mu+nu with scattered rows added via
+    # dense-merge of the gradient (the fused-mode redesign candidate)
+    def fused_adam_merge(i, bmn, ids, g):
+        b, m, v = bmn
+        slot = jnp.full((R,), -1, jnp.int32).at[ids].set(
+            lax.iota(jnp.int32, N), mode="drop",
+            indices_are_sorted=True, unique_indices=True)
+        rows = jnp.take(g + i, slot.clip(0), axis=0)
+        gg = jnp.where((slot >= 0)[:, None], rows, 0.0) + 2e-5 * b
+        m2 = 0.9 * m + 0.1 * gg
+        v2 = 0.999 * v + 0.001 * gg * gg
+        return (b - 0.01 * (m2 / (jnp.sqrt(v2) + 1e-8)), m2, v2)
+    args["mu"] = jax.device_put(np.zeros((R, W), np.float32))
+    args["nu"] = jax.device_put(np.zeros((R, W), np.float32))
+
+    def timed3(name, body):
+        def run(b, m, v, *ts):
+            def it(i, carry):
+                return body(i, carry, *ts)
+            out = lax.fori_loop(0, REPS, it, (b, m, v))
+            return jnp.sum(out[0])
+        f = jax.jit(run)
+        ts = [args["bank"], args["mu"], args["nu"], args["ids_sorted"],
+              args["g"]]
+        float(f(*ts))
+        t0 = time.time()
+        s = float(f(*ts))
+        dt = (time.time() - t0) / REPS * 1e3
+        log(f"{name:58s} {dt:8.2f} ms   (sum {s:.3e})")
+        return dt
+    timed3("FUSED adam+L2+rows via dense-merge (b,m,v rw)",
+           fused_adam_merge)
+
+    # --- do independent scatters overlap?  3 scatters into 3 arrays vs 1 --
+    # (lazy mode's real cost depends on whether XLA serializes them)
+    def three_scatters(i, bmn, ids, g):
+        b, m, v = bmn
+        kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+        return (b.at[ids].set(g + i, **kw),
+                m.at[ids].set(g + i + 1, **kw),
+                v.at[ids].set(g + i + 2, **kw))
+    timed3("3 independent scatter-SETs (bank, mu, nu)", three_scatters)
+
+    # scatter with no bounds handling at all
+    timed("scatter-SET promise_in_bounds sorted unique",
+          lambda i, b, ids, g: b.at[ids].set(
+              g + i, mode="promise_in_bounds", indices_are_sorted=True,
+              unique_indices=True), "bank", "ids_sorted", "g")
+    # bf16 payload+operand: half the bytes
+    args["bank_bf"] = jax.device_put(
+        np.zeros((R, W), np.float32).astype(jnp.bfloat16))
+    args["g_bf"] = jax.device_put(
+        rng.normal(size=(N, W)).astype(np.float32).astype(jnp.bfloat16))
+    timed("scatter-SET bf16 sorted unique -> bf16 bank",
+          lambda i, b, ids, g: b.at[ids].set(
+              g + i, mode="drop", indices_are_sorted=True,
+              unique_indices=True), "bank_bf", "ids_sorted", "g_bf")
+    # [N,256] payload (mu+nu merged, bank separate)
+    args["bank2"] = jax.device_put(np.zeros((R, 2 * W), np.float32))
+    args["g2"] = jax.device_put(
+        rng.normal(size=(N, 2 * W)).astype(np.float32))
+    timed("scatter-SET sorted unique [N,256] -> bank2 (2x payload)",
+          lambda i, b, ids, g: b.at[ids].set(
+              g + i, mode="drop", indices_are_sorted=True,
+              unique_indices=True), "bank2", "ids_sorted", "g2")
+
 
 if __name__ == "__main__":
     main()

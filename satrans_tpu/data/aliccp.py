@@ -21,6 +21,8 @@ impression with columns click, purchase, and the 19 feature fields.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -78,25 +80,34 @@ def history_feature_frame(edges: pd.DataFrame, k: int, col: str) -> pd.DataFrame
     return agg.rename(col).reset_index().rename(columns={"uid": "101"})
 
 
+def build_split_h5(df: pd.DataFrame, split: str, h5_path: str,
+                   history: dict[str, pd.DataFrame] | None = None,
+                   k: int = 3):
+    """Write one split of the ``alicpp.h5`` schema (per-column arrays under
+    ``ctr_{split}/``, aliccp_dataset_processing.py:237-242)."""
+    cols: dict[str, np.ndarray] = {}
+    for col in df.columns:
+        cols[col] = df[col].values
+    if history:
+        for hcol, hist_df in history.items():
+            merged = df[["101"]].merge(hist_df, on="101", how="left")
+            vals = merged[hcol].apply(
+                lambda x: tuple([0] * k) if not isinstance(x, tuple) else x)
+            # normalize '109_14' -> '10914' like the reference
+            # (aliccp_dataset_processing.py:217 col.replace('_','')), so
+            # writer keys always match the reader's `{col}_{k}` contract
+            key = hcol.replace("_", "")
+            cols[f"{key}_{k}"] = np.array(list(vals), dtype=np.int32)
+    io.save_dict_h5(h5_path, cols, group=f"ctr_{split}")
+
+
 def build_h5(train_df: pd.DataFrame, test_df: pd.DataFrame, h5_path: str,
              history: dict[str, pd.DataFrame] | None = None, k: int = 3):
-    """Write the ``alicpp.h5`` schema (per-column arrays under
-    ``ctr_train/`` / ``ctr_test/``, aliccp_dataset_processing.py:237-242)."""
+    """Write both splits of the ``alicpp.h5`` schema with a shared history
+    table (the pre-parsed-input path; ``preprocess_raw`` writes per-split
+    histories via :func:`build_split_h5`)."""
     for name, df in (("train", train_df), ("test", test_df)):
-        cols: dict[str, np.ndarray] = {}
-        for col in df.columns:
-            cols[col] = df[col].values
-        if history:
-            for hcol, hist_df in history.items():
-                merged = df[["101"]].merge(hist_df, on="101", how="left")
-                vals = merged[hcol].apply(
-                    lambda x: tuple([0] * k) if not isinstance(x, tuple) else x)
-                # normalize '109_14' -> '10914' like the reference
-                # (aliccp_dataset_processing.py:217 col.replace('_','')), so
-                # writer keys always match the reader's `{col}_{k}` contract
-                key = hcol.replace("_", "")
-                cols[f"{key}_{k}"] = np.array(list(vals), dtype=np.int32)
-        io.save_dict_h5(h5_path, cols, group=f"ctr_{name}")
+        build_split_h5(df, name, h5_path, history=history, k=k)
 
 
 def preprocess(train_csv: str, test_csv: str, h5_path: str):
@@ -104,6 +115,180 @@ def preprocess(train_csv: str, test_csv: str, h5_path: str):
     train_df = normalize_ids(pd.read_csv(train_csv, dtype=np.int32))
     test_df = normalize_ids(pd.read_csv(test_csv, dtype=np.int32))
     build_h5(train_df, test_df, h5_path)
+    return train_df, test_df
+
+
+# --------------------------------------------------------------------------
+# Raw-format ingestion: the stages that take the reference's OWN inputs
+# (the AliCCP release's common_features CSVs and the normalized skeleton
+# CSVs) through the edge-dump intermediates to the final ctr_train/ctr_test
+# schema (aliccp_dataset_processing.py:49-143, 187-243, 254-295).
+# --------------------------------------------------------------------------
+
+def parse_common_features(path: str,
+                          columns: list[str] | None = None
+                          ) -> dict[str, tuple[list, list, list]]:
+    """Parse a ``common_features_{split}.csv`` file into per-history-column
+    (uid, fid, score) triples (aliccp_dataset_processing.py:254-295
+    ``process_history``).
+
+    Each line is ``feat_line_id,count,kvs`` where ``kvs`` packs
+    (field, value, score) triples separated by ``\\x01``/``\\x02``/``\\x03``.
+    Rows without a '101' (uid) entry are skipped, as upstream does.
+    """
+    columns = HISTORY_COLUMNS if columns is None else columns
+    acc: dict[str, tuple[list, list, list]] = {
+        c: ([], [], []) for c in columns}
+    with open(path) as fr:
+        for line in fr:
+            parts = line.strip().split(",")
+            if len(parts) < 3:
+                continue
+            kv = re.split("\x01|\x02|\x03", parts[2])
+            keys = kv[0::3]
+            values = kv[1::3]
+            scores = kv[2::3]
+            feat = dict(zip(keys, values))
+            if "101" not in feat:
+                continue
+            uid = int(feat["101"])
+            for key, val, sc in zip(keys, values, scores):
+                if key in acc:
+                    u, f, s = acc[key]
+                    u.append(uid)
+                    f.append(int(val))
+                    s.append(float(sc))
+    return acc
+
+
+def map_history_ids(train_acc: dict, test_acc: dict, h5_path: str,
+                    min_uid: int = 1) -> None:
+    """Remap raw history edges to 1-based local ids and dump the
+    ``101_{col}/train|test`` [3, N] intermediates
+    (aliccp_dataset_processing.py:49-93 ``map_history_data``).
+
+    The fid offset for each column is the MIN over train+test combined,
+    exactly as upstream computes it.
+    """
+    for col in train_acc:
+        tr_u, tr_f, tr_s = train_acc[col]
+        te_u, te_f, te_s = test_acc.get(col, ([], [], []))
+        fids = list(tr_f) + list(te_f)
+        if not fids:
+            continue
+        min_fid = min(fids)
+        key = col.replace("_", "")
+        for name, (u, f, s) in (("train", (tr_u, tr_f, tr_s)),
+                                ("test", (te_u, te_f, te_s))):
+            uids = np.asarray(u, dtype=np.float64) - min_uid + 1
+            lf = np.asarray(f, dtype=np.float64) - min_fid + 1
+            data = np.array([uids, lf, np.asarray(s, dtype=np.float64)])
+            io.save_h5(h5_path, f"101_{key}/{name}", data)
+
+
+def get_topk_edges(data: np.ndarray, ks=(5, 10, 20)) -> dict[int, np.ndarray]:
+    """Per-user top-k edges by score from a [3, N] (uid, fid, score) dump
+    (aliccp_dataset_processing.py:96-111)."""
+    edges = pd.DataFrame(data.T, columns=["uid", "fid", "score"])
+    edges = edges.drop_duplicates()
+    edges = edges.sort_values(by=["uid", "score"], ascending=(True, False))
+    return {k: edges.groupby("uid").head(k).values for k in ks}
+
+
+def merge_train_test_history_edges(train_edges: np.ndarray,
+                                   test_edges: np.ndarray) -> np.ndarray:
+    """Concatenate train edges with the test edges of UNSEEN users only
+    (aliccp_dataset_processing.py:113-122)."""
+    train_uids = set(train_edges.T[0].tolist())
+    keep = np.array([u not in train_uids for u in test_edges.T[0].tolist()],
+                    dtype=bool)
+    return np.concatenate([train_edges, test_edges[keep]], axis=0)
+
+
+def save_topk_edges(h5_path: str, columns: list[str] | None = None,
+                    ks=(5, 10, 20)) -> None:
+    """Persist per-split top-k edge lists and the train+filtered-test merge
+    under ``101_{col}/top{k}_{train|test|merged}``
+    (aliccp_dataset_processing.py:124-143 ``save_topk_edges``)."""
+    columns = HISTORY_COLUMNS if columns is None else columns
+    for col in columns:
+        key = col.replace("_", "")
+        try:
+            splits = {name: io.load_h5(h5_path, f"101_{key}/{name}")
+                      for name in ("train", "test")}
+        except KeyError:
+            continue  # column absent from the raw dump
+        for name, data in splits.items():
+            for k, edges in get_topk_edges(data, ks).items():
+                io.save_h5(h5_path, f"101_{key}/top{k}_{name}", edges)
+        for k in ks:
+            tr = io.load_h5(h5_path, f"101_{key}/top{k}_train")
+            te = io.load_h5(h5_path, f"101_{key}/top{k}_test")
+            io.save_h5(h5_path, f"101_{key}/top{k}_merged",
+                       merge_train_test_history_edges(tr, te))
+
+
+def save_feature_edges(train_df: pd.DataFrame, test_df: pd.DataFrame,
+                       h5_path: str) -> None:
+    """Dump the user- and item-attribute edge lists built from the
+    normalized frames (aliccp_dataset_processing.py:187-206): distinct
+    (101, user_col) pairs and distinct nonzero (205, item_col) pairs,
+    each as a [2, E] array under ``{anchor}_{col}/merged``."""
+    user_cols = ["121", "122", "124", "125", "126", "127", "128", "129"]
+    item_cols = ["206", "207", "210", "216"]
+    for col in user_cols:
+        feat = pd.concat([train_df[["101", col]], test_df[["101", col]]],
+                         axis=0)
+        io.save_h5(h5_path, f"101_{col}/merged",
+                   feat.drop_duplicates().values.T)
+    for col in item_cols:
+        feat = pd.concat([train_df[["205", col]], test_df[["205", col]]],
+                         axis=0)
+        feat = feat[(feat["205"] != 0) & (feat[col] != 0)]
+        io.save_h5(h5_path, f"205_{col}/merged",
+                   feat.drop_duplicates().values.T)
+
+
+def history_frames_from_h5(h5_path: str, split: str, k: int,
+                           columns: list[str] | None = None
+                           ) -> dict[str, pd.DataFrame]:
+    """Read the persisted top-k edge dumps back into per-column uid ->
+    padded-tuple frames for the final join
+    (aliccp_dataset_processing.py:211-233)."""
+    columns = HISTORY_COLUMNS if columns is None else columns
+    frames = {}
+    for col in columns:
+        key = col.replace("_", "")
+        try:
+            edges = io.load_h5(h5_path, f"101_{key}/top{k}_{split}")
+        except KeyError:
+            continue  # column absent from the raw dump
+        df = pd.DataFrame(
+            {"uid": edges[:, 0].astype(np.int64),
+             "fid": edges[:, 1].astype(np.int64)})
+        frames[col] = history_feature_frame(df, k, col)
+    return frames
+
+
+def preprocess_raw(skeleton_train_csv: str, skeleton_test_csv: str,
+                   common_train_csv: str, common_test_csv: str,
+                   h5_path: str, k: int = 5):
+    """Full pipeline from the reference's raw inputs: parse the
+    common-features history edges, remap + top-k them, normalize the
+    skeleton frames, dump the attribute edge lists, and join everything
+    into the final ``ctr_train``/``ctr_test`` schema
+    (aliccp_dataset_processing.py __main__ order :302-309)."""
+    train_acc = parse_common_features(common_train_csv)
+    test_acc = parse_common_features(common_test_csv)
+    map_history_ids(train_acc, test_acc, h5_path)
+    save_topk_edges(h5_path, ks=(5, 10, 20) if k in (5, 10, 20)
+                    else (k, 5, 10, 20))
+    train_df = normalize_ids(pd.read_csv(skeleton_train_csv, dtype=np.int32))
+    test_df = normalize_ids(pd.read_csv(skeleton_test_csv, dtype=np.int32))
+    save_feature_edges(train_df, test_df, h5_path)
+    for name, df in (("train", train_df), ("test", test_df)):
+        build_split_h5(df, name, h5_path,
+                       history=history_frames_from_h5(h5_path, name, k), k=k)
     return train_df, test_df
 
 

@@ -321,3 +321,89 @@ def test_io_aliases(tmp_path):
     io.dump_npy(np.arange(3), str(tmp_path / "x.npy"))
     np.testing.assert_array_equal(io.load_npy(str(tmp_path / "x.npy")),
                                   np.arange(3))
+
+
+def _write_common_features(path, rows):
+    """rows: list of (line_id, {field: (value, score)}) in the raw AliCCP
+    common-features packing (key\\x02value\\x03score joined by \\x01)."""
+    with open(path, "w") as f:
+        for line_id, feats in rows:
+            kvs = "\x01".join(f"{k}\x02{v}\x03{s}"
+                              for k, (v, s) in feats.items())
+            f.write(f"{line_id},{len(feats)},{kvs}\n")
+
+
+def test_aliccp_parse_common_features(tmp_path):
+    p = str(tmp_path / "common_features_train.csv")
+    _write_common_features(p, [
+        ("a1", {"101": (7, 1.0), "109_14": (500, 0.9), "121": (3, 1.0)}),
+        ("a2", {"109_14": (501, 0.5)}),            # no uid -> skipped
+        ("a3", {"101": (8, 1.0), "110_14": (900, 0.2)}),
+    ])
+    acc = aliccp.parse_common_features(p)
+    assert acc["109_14"] == ([7], [500], [0.9])
+    assert acc["110_14"] == ([8], [900], [0.2])
+    assert acc["150_14"] == ([], [], [])
+
+
+def test_aliccp_raw_pipeline_end_to_end(tmp_path):
+    """preprocess_raw runs from the reference's raw inputs through the
+    edge-dump intermediates (aliccp_dataset_processing.py:49-143) to the
+    final ctr_train/ctr_test schema."""
+    h5 = str(tmp_path / "alicpp.h5")
+    common_tr = str(tmp_path / "common_features_train.csv")
+    common_te = str(tmp_path / "common_features_test.csv")
+    # raw history fids live in a global range; the pipeline must remap them
+    # to 1-based local ids using the min over train+test (ref :70-82)
+    _write_common_features(common_tr, [
+        ("a1", {"101": (1, 1.0), "109_14": (1000, 0.9)}),
+        ("a2", {"101": (1, 1.0), "109_14": (1002, 0.5)}),
+        ("a3", {"101": (2, 1.0), "109_14": (1001, 0.7)}),
+    ])
+    _write_common_features(common_te, [
+        # uid 2 already in train -> filtered from merged; uid 3 is new
+        ("b1", {"101": (2, 1.0), "109_14": (1005, 0.8)}),
+        ("b2", {"101": (3, 1.0), "109_14": (1003, 0.4)}),
+    ])
+    rng = np.random.default_rng(0)
+    n = 12
+    cols = {"click": rng.integers(1, 3, n), "purchase": np.ones(n, int)}
+    for c in aliccp.SPARSE_FEATURES:
+        cols[c] = aliccp.MIN_V[c] + rng.integers(0, 3, n)
+    cols["101"] = np.array([1, 2, 3, 4] * 3) + aliccp.MIN_V["101"] - 1
+    sk_tr = str(tmp_path / "skeleton_train.csv")
+    sk_te = str(tmp_path / "skeleton_test.csv")
+    pd.DataFrame(cols).to_csv(sk_tr, index=False)
+    pd.DataFrame(cols).to_csv(sk_te, index=False)
+
+    train_df, test_df = aliccp.preprocess_raw(sk_tr, sk_te, common_tr,
+                                              common_te, h5, k=5)
+
+    # intermediates: remapped [3, N] dumps and top-k edge lists exist
+    dump = io.load_h5(h5, "101_10914/train")
+    assert dump.shape == (3, 3)
+    # fids remapped 1-based over train+test: min raw fid is 1000
+    assert sorted(dump[1].tolist()) == [1, 2, 3]
+    top5_tr = io.load_h5(h5, "101_10914/top5_train")
+    assert top5_tr.shape[0] == 3
+    merged = io.load_h5(h5, "101_10914/top5_merged")
+    # train uids {1,2} + only the unseen test uid 3
+    assert sorted(set(merged[:, 0].astype(int))) == [1, 2, 3]
+    # attribute edge lists (ref :187-206)
+    assert io.load_h5(h5, "101_121/merged").shape[0] == 2
+    assert io.load_h5(h5, "205_206/merged").shape[0] == 2
+
+    # final schema readable through the reference reader contract, with
+    # per-user history: uid 1's top-5 = fids [1, 3] by score desc, 0-padded
+    loaded = aliccp.load_split(h5, "ctr_train", ["click", "101", "10914"],
+                               k=5)
+    assert loaded["10914"].shape == (n, 5)
+    uid1_rows = loaded["10914"][loaded["101"] == 1]
+    assert uid1_rows[0].tolist() == [1, 3, 0, 0, 0]
+    # uid 4 has no history -> zero tuple
+    uid4_rows = loaded["10914"][loaded["101"] == 4]
+    assert uid4_rows[0].tolist() == [0, 0, 0, 0, 0]
+    # test split uses its own (not train's) history edges
+    lte = aliccp.load_split(h5, "ctr_test", ["101", "10914"], k=5)
+    uid2_te = lte["10914"][lte["101"] == 2]
+    assert uid2_te[0].tolist() == [6, 0, 0, 0, 0]
