@@ -30,6 +30,24 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def _put_global(arr, sharding: NamedSharding):
+    """``device_put`` that also works across processes.
+
+    Single-process: plain ``device_put``.  Multi-process (``jax.distributed``
+    initialized): every process holds the SAME full value (params/opt/state
+    are seeded identically on each host), so a global array is assembled by
+    handing each process its addressable shards of that value - works for
+    replicated and row-sharded specs alike.  Host-LOCAL batch shards go
+    through :func:`shard_array`, which uses the process-local-data path
+    instead.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def _is_bank_path(path) -> bool:
     """True for fused embedding-bank leaves ('bank' key anywhere in the path)."""
     return any(getattr(k, "key", None) == "bank" for k in path)
@@ -73,7 +91,7 @@ def place(model, params, opt_state, state, mesh: Mesh, *,
     """Device-place params/opt_state/state with the layout above."""
     p_spec = params_sharding(model, params, mesh,
                              shard_embeddings=shard_embeddings)
-    params = jax.tree.map(jax.device_put, params, p_spec)
+    params = jax.tree.map(_put_global, params, p_spec)
     # optax state mirrors the param tree for Adam moments; shard matching
     # leaves the same way, scalars replicated.
     rep = NamedSharding(mesh, P())
@@ -86,11 +104,11 @@ def place(model, params, opt_state, state, mesh: Mesh, *,
                            for pth, l in jax.tree_util.tree_leaves_with_path(params)
                            if _is_bank_path(pth)}
             if tuple(leaf.shape) in bank_shapes:
-                return jax.device_put(leaf, NamedSharding(mesh, P("data", None)))
-        return jax.device_put(leaf, rep)
+                return _put_global(leaf, NamedSharding(mesh, P("data", None)))
+        return _put_global(leaf, rep)
 
     opt_state = jax.tree.map(place_opt, opt_state)
-    state = jax.tree.map(lambda l: jax.device_put(l, rep), state)
+    state = jax.tree.map(lambda l: _put_global(l, rep), state)
     return params, opt_state, state
 
 
@@ -99,10 +117,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_array(arr, mesh: Mesh, *, axis: int = 0):
-    """Shard ``axis`` (default leading) over 'data'."""
+    """Shard ``axis`` (default leading) over 'data'.
+
+    Multi-process: ``arr`` is this HOST'S shard (the ``ShardedBatchIterator``
+    contract - host h holds global-batch rows h::H), and the returned global
+    array's ``axis`` length is ``arr.shape[axis] * process_count``.
+    """
     ndim = np.ndim(arr)
     spec = P(*([None] * axis), "data", *([None] * (ndim - axis - 1)))
-    return jax.device_put(arr, NamedSharding(mesh, spec))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(arr))
 
 
 def shard_batch(batch: dict, mesh: Mesh, *, axis: int = 0) -> dict:

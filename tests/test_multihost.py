@@ -1,0 +1,62 @@
+"""Two-process multi-host training test (VERDICT round-1 weak #5).
+
+Spawns two real OS processes that form a jax.distributed CPU cluster
+(2 local devices each -> a 4-device global mesh) and run the full
+multi-host path: initialize -> host-sharded iterator -> fit_from_iterator
+-> sharded eval -> distributed_auc.  Every prior multi-host test ran with
+``host_id=0, num_hosts=1`` inside one process; this one actually crosses
+the process boundary.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_training():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",       # never touch the TPU tunnel
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": repo + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(pid), "2", coord],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert len(lines) == 1, out
+        results.append(lines[0].split(" ", 1)[1])
+    # the global SPMD program is identical on both hosts: the reported
+    # loss/auc must agree exactly
+    assert results[0].split("loss=")[1] == results[1].split("loss=")[1], outs
