@@ -90,8 +90,15 @@ def main(argv=None):
         results[n] = {"examples_per_sec": round(tput, 1),
                       "efficiency_vs_1dev": round(eff, 4)}
         log(f"{n} device(s): {tput:,.0f} ex/s, efficiency {eff:.1%}")
-    print(json.dumps({"platform": jax.devices()[0].platform,
-                      "scaling": results}))
+    payload = {"platform": jax.devices()[0].platform, "scaling": results}
+    if payload["platform"] == "cpu":
+        payload["caveat"] = (
+            "virtual CPU devices share one host's physical cores: total "
+            "compute is fixed, so efficiency_vs_1dev measures core "
+            "oversubscription, not the sharding design; this run "
+            "demonstrates the harness + that the sharded program executes "
+            "at every mesh size.  Real efficiency needs a TPU pod slice.")
+    print(json.dumps(payload))
     return results
 
 
