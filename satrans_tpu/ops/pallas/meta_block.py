@@ -92,31 +92,46 @@ def _block_select(wide, onehot_rows, D: int, block: int):
                    preferred_element_type=F32)           # [N, block]
 
 
-def _meta_apply(t0, w1cat, w2cat, onehot_rows, D: int, h: int, d: int):
-    """relu(t0 @ W1[dom]) @ W2[dom] via all-domain wide GEMMs + select.
+def _meta_apply(t0, w1cat, w2stack, onehot_rows, D: int, h: int, d: int):
+    """relu(t0 @ W1[dom]) @ W2[dom] with the selection IMPLICIT in a masked
+    wide GEMM - no per-domain gather, no fold matmuls.
 
-    t0: [N, d]; w1cat: [d, D*h]; w2cat: [h, D*d]; onehot_rows: [N, D].
+    t0: [N, d]; w1cat: [d, D*h] (per-domain W1 side by side); w2stack:
+    [D*h, d] (per-domain W2 stacked VERTICALLY); onehot_rows: [N, D].
+    ``Hm = relu(t0 @ w1cat) * mask`` is zero outside each row's own domain
+    column block, so ``Hm @ w2stack`` contracts exactly against that
+    domain's W2 - one GEMM replaces select+GEMM+select, and the gradients
+    ``dW = Hm^T @ dY`` / ``dHm = dY @ w2stack^T`` stay per-domain-correct
+    for free (zero rows contribute zero).
     """
-    H = jax.nn.relu(jnp.dot(t0, w1cat, preferred_element_type=F32))  # [N,D*h]
-    Hsel = _block_select(H, onehot_rows, D, h)
-    Y = jnp.dot(Hsel, w2cat, preferred_element_type=F32)             # [N,D*d]
-    Ysel = _block_select(Y, onehot_rows, D, d)
-    return Ysel, Hsel
+    mask = jnp.dot(onehot_rows, _expand_const(D, h),
+                   preferred_element_type=F32)           # [N, D*h]
+    H = jax.nn.relu(jnp.dot(t0, w1cat, preferred_element_type=F32))
+    Hm = H * mask
+    Y = jnp.dot(Hm, w2stack, preferred_element_type=F32)  # [N, d]
+    return Y, Hm
 
 
-def _attn_group(TB: int, F_: int) -> int:
+def _attn_group(TB: int, F_: int, cap: int | None = None) -> int:
     """Examples packed per block-diagonal attention GEMM.
 
     Per-example F x F attention maps to MXU ops of ~F x dh x F - tiny, and
-    Mosaic serializes the batch. Packing g examples gives [g*F, dh] x
+    Mosaic SERIALIZES batched dots over the group dim, so the group count is
+    the dominant per-tile op count.  Packing g examples gives [g*F, dh] x
     [dh, g*F] GEMMs (one op instead of g); off-diagonal example-cross terms
     are masked to -inf before the softmax, so they come out exactly 0 and
     the S@V / backward contractions stay correct over the full matrix.
+    Score-tensor FLOPs/VMEM grow linearly in g while the serialized op
+    count falls as 1/g; ``cap`` bounds g*F (measured sweet spot recorded in
+    docs/PERFORMANCE.md).
     """
-    for g in (5, 4, 2, 1):
-        if TB % g == 0 and g * F_ <= 128:
-            return g
-    return 1
+    if cap is None:
+        cap = 128
+    best = 1
+    for g in range(1, TB + 1):
+        if TB % g == 0 and g * F_ <= cap:
+            best = g
+    return best
 
 
 def _block_mask(groups: int, g: int, F_: int, f_real: int):
@@ -130,7 +145,8 @@ def _block_mask(groups: int, g: int, F_: int, f_real: int):
 
 
 def _attention(q, k, v, head_num: int, F_: int, d: int, *,
-               drop_rate: float, train: bool, f_real: int | None = None):
+               drop_rate: float, train: bool, f_real: int | None = None,
+               attn_cap: int | None = None):
     """Block-diagonal-packed multi-head attention for tiny F.
 
     q,k,v: [TB, F, d].  Returns (o [TB, F, d], s_all per head
@@ -139,7 +155,7 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
     TB = q.shape[0]
     dh = d // head_num
     scale = 1.0 / math.sqrt(dh)
-    g = _attn_group(TB, F_)
+    g = _attn_group(TB, F_, attn_cap)
     groups = TB // g
     n = g * F_
     mask = _block_mask(groups, g, F_, f_real if f_real is not None else F_)
@@ -168,7 +184,7 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
 def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
                 lnq_ref, wout_ref, lno_ref, out_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
-                f_real: int | None = None):
+                f_real: int | None = None, attn_cap: int | None = None):
     TB, F_, d = x_ref.shape
     if train and drop_rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -194,7 +210,8 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
     o, _ = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
                       v0.reshape(TB, F_, d), head_num, F_, d,
-                      drop_rate=drop_rate, train=train, f_real=f_real)
+                      drop_rate=drop_rate, train=train, f_real=f_real,
+                      attn_cap=attn_cap)
     z = jnp.dot(o.reshape(TB * F_, d), wout_ref[:],
                 preferred_element_type=F32)
     if train and drop_rate > 0.0:
@@ -224,7 +241,7 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
     w2 = flat[:, d * h:].reshape(D, h, d)
     # [d, D*h] / [h, D*d] concatenations for the wide GEMMs
     w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
-    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=1)
+    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=0)
     wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
                             layer_params["wv"]], axis=1)
     lnq_p = layer_params.get("q_meta", {}).get(
@@ -250,7 +267,7 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
                 pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
@@ -274,7 +291,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
                 dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
                 dwout_ref, dlno_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
-                f_real: int | None = None):
+                f_real: int | None = None, attn_cap: int | None = None):
     TB, F_, d = x_ref.shape
     N = TB * F_
     dh = d // head_num
@@ -286,7 +303,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         m_yq = _dropout_mask((N, d), drop_rate)
         m_yk = _dropout_mask((N, d), drop_rate)
-        g_attn0 = _attn_group(TB, F_)
+        g_attn0 = _attn_group(TB, F_, attn_cap)
         m_s = [_dropout_mask((TB // g_attn0, g_attn0 * F_, g_attn0 * F_),
                              drop_rate) for _ in range(head_num)]
         m_z = _dropout_mask((N, d), drop_rate)
@@ -318,7 +335,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         yk = yk * m_yk
     kn, xhat_k, inv_k = _layer_norm_fwd(yk + k0, lnq_ref[0], lnq_ref[1])
 
-    g_attn = _attn_group(TB, F_)
+    g_attn = _attn_group(TB, F_, attn_cap)
     groups = TB // g_attn
     n_attn = g_attn * F_
     q3 = qn.reshape(groups, n_attn, d)
@@ -394,39 +411,24 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     dkn = jnp.concatenate(dkn_parts, axis=-1).reshape(TB, F_, d)
     dv3 = jnp.concatenate(dv_parts, axis=-1)
 
-    # meta/LN backward for Q and K paths (shared LN + shared meta weights)
-    w1cat_T = jnp.concatenate(
-        [w1cat[:, i * h:(i + 1) * h].T for i in range(D)], axis=1)  # [h, D*d]
-    w2cat_T = jnp.concatenate(
-        [w2cat[:, i * d:(i + 1) * d].T for i in range(D)], axis=1)  # [d, D*h]
-
-    def meta_bwd(dyn, xhat, inv, t0, hsel, y_mask):
-        """dyn/xhat/inv/t0/hsel all [N, d]-shaped.
-        Returns (dt0, dW1cat, dW2cat, dln_scale, dln_bias)."""
+    # meta/LN backward for Q and K paths (shared LN + shared meta weights).
+    # hm = relu(t0@w1cat)*mask is zero outside each row's domain block, so
+    # plain wide GEMMs give per-domain-correct grads with no select/fold
+    # matmuls and no per-domain loop (see _meta_apply).
+    def meta_bwd(dyn, xhat, inv, t0, hm, y_mask):
+        """dyn/xhat/inv/t0 [N, d]; hm [N, D*h].
+        Returns (dt0, dW1cat [d, D*h], dW2stack [D*h, d], dls, dlb)."""
         dls = jnp.sum(dyn * xhat, axis=0)
         dlb = jnp.sum(dyn, axis=0)
         duq = _layer_norm_bwd(dyn, xhat, inv, lnq_ref[0])
         dy = duq * y_mask if y_mask is not None else duq
         dt0 = duq  # residual branch
-        # dHsel = select_d(dy @ w2_d^T)
-        A = jnp.dot(dy, w2cat_T, preferred_element_type=F32)  # [N, D*h]
-        dhsel = _block_select(A, onehot_rows, D, h)
-        relu_mask = (hsel > 0).astype(F32)
-        dhrelu = dhsel * relu_mask
-        # dW2_d = Hsel_d^T dy ; dW1_d = t0_d^T dHrelu  (masked rows)
-        dw2_parts = []
-        dw1_parts = []
-        for dom in range(D):
-            m = onehot_rows[:, dom][:, None]
-            dw2_parts.append(jnp.dot((hsel * m).T, dy,
-                                     preferred_element_type=F32))
-            dw1_parts.append(jnp.dot((t0 * m).T, dhrelu,
-                                     preferred_element_type=F32))
-        dw2c = jnp.concatenate(dw2_parts, axis=1)   # [h, D*d]
-        dw1c = jnp.concatenate(dw1_parts, axis=1)   # [d, D*h]
-        # dt0 += select_d(dHrelu @ w1_d^T)
-        Bm = jnp.dot(dhrelu, w1cat_T, preferred_element_type=F32)  # [N, D*d]
-        dt0 = dt0 + _block_select(Bm, onehot_rows, D, d)
+        dhm = jnp.dot(dy, w2cat.T, preferred_element_type=F32)  # [N, D*h]
+        # d/dH0 of relu+mask: both fold into (hm > 0)
+        dh0 = dhm * (hm > 0).astype(F32)
+        dw2c = jnp.dot(hm.T, dy, preferred_element_type=F32)    # [D*h, d]
+        dw1c = jnp.dot(t0.T, dh0, preferred_element_type=F32)   # [d, D*h]
+        dt0 = dt0 + jnp.dot(dh0, w1cat.T, preferred_element_type=F32)
         return dt0, dw1c, dw2c, dls, dlb
 
     dq0, dw1c_q, dw2c_q, dls_q, dlb_q = meta_bwd(
@@ -469,10 +471,11 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
 def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
     B, F_, d = x.shape
-    D, h, head_num, drop_rate, train, block_b, interpret, f_real = cfg
+    (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
+     attn_cap) = cfg
     kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
-                               f_real=f_real)
+                               f_real=f_real, attn_cap=attn_cap)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -483,7 +486,7 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
                 pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
@@ -499,15 +502,16 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
 
 def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
     B, F_, d = x.shape
-    D, h, head_num, drop_rate, train, block_b, interpret, f_real = cfg
+    (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
+     attn_cap) = cfg
     kernel = functools.partial(_bwd_kernel, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
-                               f_real=f_real)
+                               f_real=f_real, attn_cap=attn_cap)
     out_shapes = (
         jax.ShapeDtypeStruct((B, F_, d), x.dtype),        # dx
         jax.ShapeDtypeStruct((d, 3 * d), F32),            # dwqkv
         jax.ShapeDtypeStruct((d, D * h), F32),            # dw1cat
-        jax.ShapeDtypeStruct((h, D * d), F32),            # dw2cat
+        jax.ShapeDtypeStruct((D * h, d), F32),            # dw2cat
         jax.ShapeDtypeStruct((2, d), F32),                # dlnq
         jax.ShapeDtypeStruct((d, d), F32),                # dwout
         jax.ShapeDtypeStruct((2, d), F32),                # dlno
@@ -522,7 +526,7 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
                 pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
@@ -532,7 +536,7 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
                 pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((h, D * d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
@@ -569,7 +573,8 @@ _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                          meta_units, head_num: int, drop_rate: float = 0.1,
                          train: bool = False, seed: int = 0,
-                         block_b: int = 128, interpret: bool = False):
+                         block_b: int = 128, interpret: bool = False,
+                         attn_cap: int | None = None):
     """Differentiable fused layer.  The packing (concats/reshapes) happens
     outside the custom-vjp boundary so XLA autodiffs it, routing gradients
     back to the original parameter structure including the per-domain flat
@@ -582,7 +587,7 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     w1 = flat[:, : d * h].reshape(D, d, h)
     w2 = flat[:, d * h:].reshape(D, h, d)
     w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
-    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=1)
+    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=0)
     wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
                             layer_params["wv"]], axis=1)
     lnq_p = layer_params.get("q_meta", {}).get(
@@ -596,7 +601,7 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     if pad_f:
         x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
     cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
-           f_real if pad_f else None)
+           f_real if pad_f else None, attn_cap)
     seed_arr = jnp.asarray([seed], jnp.int32)
     y = _fused_layer(x, wqkv, w1cat, w2cat, lnq,
                      layer_params["wout"], lno,

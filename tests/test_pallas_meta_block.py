@@ -207,3 +207,29 @@ def test_forced_fused_falls_back_when_unsupported():
         p_forced, _, _ = forced.apply(params, state, batch)
         np.testing.assert_allclose(np.asarray(p_forced), np.asarray(p_ref),
                                    rtol=1e-5, err_msg=str(kw))
+
+
+@pytest.mark.parametrize("cap", [48, 192, 768])
+def test_fused_vjp_attn_cap_variants(cap):
+    """Larger block-diagonal attention pack factors (attn_cap) keep forward
+    AND gradients exact: off-diagonal logits are -inf-masked so packed
+    examples never mix."""
+    x, params, tables, dom, onehot, units, H = _setup(B=32)
+
+    def ref_loss(x):
+        y = attention.meta_transformer_apply(
+            params, x, tables, units, mode="QK", head_num=H, train=False,
+            domain_ids=dom, dense_select=True)
+        return jnp.sum(jnp.sin(y))
+
+    def fused_loss(x):
+        y = meta_block.fused_meta_layer_vjp(
+            x, params, tables, onehot, meta_units=units, head_num=H,
+            train=False, block_b=32, interpret=True, attn_cap=cap)
+        return jnp.sum(jnp.sin(y))
+
+    want, gw = jax.value_and_grad(ref_loss)(x)
+    got, gg = jax.value_and_grad(fused_loss)(x)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                               rtol=3e-3, atol=3e-4)
