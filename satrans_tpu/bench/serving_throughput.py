@@ -1,0 +1,112 @@
+"""Serving (inference) throughput of the AOT Predictor on one chip.
+
+BASELINE.md's protocol includes the reference's 4x-train eval batch
+(32768, main.py:353); round 1 only correctness-tested the Predictor.  This
+measures the compiled scorer at the headline SATrans AliCCP config, with
+the timed loop chained in-device (scores feed a running sum; one scalar
+fence at the end - block_until_ready does not synchronize on the remote
+axon backend).
+
+Two numbers:
+* ``device_path_ms``: the pure on-device score program (batch already on
+  device, dispatch amortized over an in-jit fori_loop) - the serving
+  compute ceiling.
+* ``e2e_examples_per_sec``: the real ``Predictor.predict`` path including
+  host->device transfer, tail padding, and per-call dispatch - what a
+  serving process sees per request.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -m satrans_tpu.bench.serving_throughput
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ALICCP_DATA_MAX = {
+    "101": 444861, "121": 97, "122": 13, "124": 2, "125": 7, "126": 3,
+    "127": 3, "128": 2, "129": 4, "205": 4348615, "206": 8993,
+    "207": 695124, "210": 99606, "216": 234880, "508": 8185, "509": 472354,
+    "702": 167813, "853": 91358, "301": 3,
+}
+EVAL_BATCH = 32768     # reference main.py:353: predict batch = 4x train
+REPS = 16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from .. import serving
+    from ..features import FeatureLayout, SparseFeature
+    from ..models import SATrans
+    from ..train import Trainer
+
+    cols = [SparseFeature(name, vocab + 2, 32)
+            for name, vocab in ALICCP_DATA_MAX.items()]
+    layout = FeatureLayout(cols)
+    model = SATrans(layout=layout, domain_cols=["301"], num_domains_list=[3],
+                    domain_att_layer_num=3, att_head_num=4, meta_mode="QK",
+                    meta_dnn_hidden_units=(64, 32))
+    trainer = Trainer(model, seed=1021)
+    trainer.compile()
+    trainer._strategy = trainer._resolve_strategy(None)
+    trainer._ensure_initialized()
+
+    pred = serving.Predictor(model, trainer.params, trainer.state,
+                             batch_size=EVAL_BATCH)
+    t0 = time.time()
+    pred.aot_compile()
+    log(f"aot_compile: {time.time() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    feats = {name: rng.integers(1, v + 1, EVAL_BATCH).astype(np.int32)
+             for name, v in ALICCP_DATA_MAX.items()}
+    batch_np = layout.batch_from_dict(feats)
+    batch_dev = {k: jax.device_put(jnp.asarray(v))
+                 for k, v in batch_np.items()}
+
+    # --- device-path ceiling: REPS chained scores inside one jit ---
+    def chained(params, state, batch):
+        def body(i, acc):
+            p, _, _ = model.apply(params, state, batch, train=False)
+            return acc + jnp.sum(p)
+        return jax.lax.fori_loop(0, REPS, body, 0.0)
+
+    f = jax.jit(chained)
+    float(f(trainer.params, trainer.state, batch_dev))  # compile+warm
+    t0 = time.time()
+    s = float(f(trainer.params, trainer.state, batch_dev))
+    dev_ms = (time.time() - t0) / REPS * 1e3
+    dev_eps = EVAL_BATCH / (dev_ms / 1e3)
+    log(f"device path: {dev_ms:.2f} ms/batch -> {dev_eps:,.0f} examples/s "
+        f"(sum {s:.3e})")
+
+    # --- end-to-end Predictor.predict (host numpy in, scores out) ---
+    pred(feats)  # warm the aot path end-to-end
+    t0 = time.time()
+    n_calls = 8
+    for _ in range(n_calls):
+        out = pred(feats)
+    e2e = time.time() - t0
+    e2e_eps = EVAL_BATCH * n_calls / e2e
+    log(f"e2e predict: {e2e / n_calls * 1e3:.2f} ms/call -> "
+        f"{e2e_eps:,.0f} examples/s (out[0]={out[0]:.4f})")
+
+    print(json.dumps({
+        "workload": f"satrans_aliccp_sota_serve_b{EVAL_BATCH}",
+        "device_path_ms": round(dev_ms, 2),
+        "device_examples_per_sec": round(dev_eps, 1),
+        "e2e_examples_per_sec": round(e2e_eps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
