@@ -161,11 +161,16 @@ def _block_mask(groups: int, g: int, F_: int, f_real: int):
 
 def _attention(q, k, v, head_num: int, F_: int, d: int, *,
                drop_rate: float, train: bool, f_real: int | None = None,
-               attn_cap: int | None = None):
+               attn_cap: int | None = None, mask=None):
     """Block-diagonal-packed multi-head attention for tiny F.
 
     q,k,v: [TB, F, d].  Returns (o [TB, F, d], s_all per head
     [TB//g, g*F, g*F] block-diagonal scores).
+
+    The 1/sqrt(dh) scale is folded into Q ONCE on [TB*F, d] instead of a
+    per-head pass over every [G, n, n] score tensor, and ``mask`` (the
+    additive block mask) can be passed in precomputed - rebuilding it from
+    iotas cost ~6 VPU passes over [G, n, n] per kernel invocation.
     """
     TB = q.shape[0]
     dh = d // head_num
@@ -173,8 +178,10 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
     g = _attn_group(TB, F_, attn_cap)
     groups = TB // g
     n = g * F_
-    mask = _block_mask(groups, g, F_, f_real if f_real is not None else F_)
-    qg = q.reshape(groups, n, d)
+    if mask is None:
+        mask = _block_mask(groups, g, F_,
+                           f_real if f_real is not None else F_)
+    qg = (q * scale).reshape(groups, n, d)
     kg = k.reshape(groups, n, d)
     vg = v.reshape(groups, n, d)
     outs = []
@@ -184,7 +191,7 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
         qh, kh, vh = qg[..., sl], kg[..., sl], vg[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)  # [G, n, n]
-        s = s * scale + mask
+        s = s + mask
         s = _softmax_lastdim(s)
         if train and drop_rate > 0.0:
             s = s * _dropout_mask(s.shape, drop_rate)
@@ -197,7 +204,7 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
 
 
 def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
-                lnq_ref, wout_ref, lno_ref, out_ref, *,
+                lnq_ref, wout_ref, lno_ref, mask_ref, out_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
                 f_real: int | None = None, attn_cap: int | None = None):
     TB, F_, d = x_ref.shape
@@ -226,7 +233,7 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     o, _ = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
                       v0.reshape(TB, F_, d), head_num, F_, d,
                       drop_rate=drop_rate, train=train, f_real=f_real,
-                      attn_cap=attn_cap)
+                      attn_cap=attn_cap, mask=mask_ref[:])
     z = jnp.dot(o.reshape(TB * F_, d), wout_ref[:],
                 preferred_element_type=F32)
     if train and drop_rate > 0.0:
@@ -271,6 +278,8 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
     kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train)
     seed_arr = jnp.asarray([seed], jnp.int32)
+    g_att = _attn_group(block_b, F_)
+    mask = _block_mask(block_b // g_att, g_att, F_, F_)
 
     return pl.pallas_call(
         kernel,
@@ -286,6 +295,7 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         ),
@@ -294,7 +304,7 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1cat, w2cat, lnq,
-      layer_params["wout"], lno)
+      layer_params["wout"], lno, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +312,7 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
-                lnq_ref, wout_ref, lno_ref, g_ref,
+                lnq_ref, wout_ref, lno_ref, mask_ref, g_ref,
                 dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
                 dwout_ref, dlno_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
@@ -353,11 +363,11 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     g_attn = _attn_group(TB, F_, attn_cap)
     groups = TB // g_attn
     n_attn = g_attn * F_
-    q3 = qn.reshape(groups, n_attn, d)
+    # scale folded into Q once (see _attention); dqn unfolds it at the end
+    q3 = (qn * scale).reshape(groups, n_attn, d)
     k3 = kn.reshape(groups, n_attn, d)
     v3 = v0.reshape(groups, n_attn, d)
-    blk_mask = _block_mask(groups, g_attn, F_,
-                           f_real if f_real is not None else F_)
+    blk_mask = mask_ref[:]
 
     s_list, sm_list = [], []
     o_parts = []
@@ -366,7 +376,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)
-        s = s * scale + blk_mask
+        s = s + blk_mask
         s = _softmax_lastdim(s)
         s_list.append(s)
         sm = s * m_s[hd] if use_drop else s
@@ -414,7 +424,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         dv_parts.append(dvh)
         ds = ds_used * m_s[hd] if use_drop else ds_used
         da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
-        da = da * scale
+        # q3 carries the 1/sqrt(dh) scale, so da needs none: dkh contracts
+        # against the scaled q3 and dqn is unscaled after the concat below
         qh, kh = q3[..., sl], k3[..., sl]
         dqh = jax.lax.dot_general(da, kh, (((2,), (1,)), ((0,), (0,))),
                                   preferred_element_type=F32)
@@ -422,7 +433,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
                                   preferred_element_type=F32)
         dqn_parts.append(dqh)
         dkn_parts.append(dkh)
-    dqn = jnp.concatenate(dqn_parts, axis=-1).reshape(TB, F_, d)
+    dqn = jnp.concatenate(dqn_parts, axis=-1).reshape(TB, F_, d) * scale
     dkn = jnp.concatenate(dkn_parts, axis=-1).reshape(TB, F_, d)
     dv3 = jnp.concatenate(dv_parts, axis=-1)
 
@@ -491,6 +502,9 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
     kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap)
+    g_att = _attn_group(block_b, F_, attn_cap)
+    mask = _block_mask(block_b // g_att, g_att, F_,
+                       f_real if f_real is not None else F_)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -505,6 +519,7 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         ),
@@ -512,7 +527,7 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno)
+    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask)
 
 
 def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
@@ -522,6 +537,9 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
     kernel = functools.partial(_bwd_kernel, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap)
+    g_att = _attn_group(block_b, F_, attn_cap)
+    mask = _block_mask(block_b // g_att, g_att, F_,
+                       f_real if f_real is not None else F_)
     out_shapes = (
         jax.ShapeDtypeStruct((B, F_, d), x.dtype),        # dx
         jax.ShapeDtypeStruct((d, 3 * d), F32),            # dwqkv
@@ -545,6 +563,7 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                 pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
                 pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=(
@@ -561,7 +580,7 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, g)
+    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
