@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-REFERENCE_EXAMPLES_PER_SEC = 60_000.0
+REFERENCE_EXAMPLES_PER_SEC = 60_000.0   # derivation: BASELINE.md
 
 # AliCCP vocab sizes (reference main.py:124-128), +2 like main.py:182.
 ALICCP_DATA_MAX = {
@@ -41,7 +41,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def run_mode(bank_update: str) -> float:
     import jax
 
     from satrans_tpu.features import FeatureLayout, SparseFeature
@@ -51,14 +51,11 @@ def main():
     cols = [SparseFeature(name, vocab + 2, 32)
             for name, vocab in ALICCP_DATA_MAX.items()]
     layout = FeatureLayout(cols)
-    log(f"fused bank rows: {layout.total_rows:,} (x32 fp32 = "
-        f"{layout.total_rows * 32 * 4 / 1e9:.2f} GB)")
-
     model = SATrans(layout=layout, domain_cols=["301"], num_domains_list=[3],
                     domain_att_layer_num=3, att_head_num=4, meta_mode="QK",
                     meta_dnn_hidden_units=(64, 32))
     trainer = Trainer(model, seed=1021)
-    trainer.compile(learning_rate=0.005)
+    trainer.compile(learning_rate=0.005, bank_update=bank_update)
     trainer._strategy = trainer._resolve_strategy(None)
     trainer._ensure_initialized()
     trainer._build_steps()
@@ -78,7 +75,8 @@ def main():
     p, o, s = trainer.params, trainer.opt_state, trainer.state
     p, o, s, stats = trainer._train_scan(p, o, s, batch, y, w, rngs)
     float(stats["loss"])
-    log(f"compile+first chunk ({SCAN} steps): {time.time() - t0:.1f}s")
+    log(f"[{bank_update}] compile+first chunk ({SCAN} steps): "
+        f"{time.time() - t0:.1f}s")
     p, o, s, stats = trainer._train_scan(p, o, s, batch, y, w, rngs)
     float(stats["loss"])
 
@@ -88,15 +86,30 @@ def main():
     float(stats["loss"])  # fences the dependent chain of all chunks
     dt = time.time() - t0
     steps = SCAN * CHUNKS
-    examples_per_sec = BATCH * steps / dt
-    log(f"{steps} steps in {dt:.3f}s -> {examples_per_sec:,.0f} examples/s "
-        f"({dt / steps * 1e3:.2f} ms/step)")
+    eps = BATCH * steps / dt
+    log(f"[{bank_update}] {steps} steps in {dt:.3f}s -> {eps:,.0f} "
+        f"examples/s ({dt / steps * 1e3:.2f} ms/step)")
+    del trainer, p, o, s
+    return eps
 
+
+def main():
+    # exact reference semantics (dense full-table-L2 Adam) AND the
+    # documented-deviation sparse mode (bank_update='lazy', PARITY.md) -
+    # headline = lazy (the production configuration), parity recorded
+    # alongside for the honest comparison.
+    parity = run_mode("dense")
+    lazy = run_mode("lazy")
     print(json.dumps({
         "metric": "satrans_train_throughput",
-        "value": round(examples_per_sec, 1),
+        "value": round(lazy, 1),
         "unit": "examples/s/chip",
-        "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 3),
+        "vs_baseline": round(lazy / REFERENCE_EXAMPLES_PER_SEC, 3),
+        "mode": "bank_update=lazy (documented deviation, PARITY.md)",
+        "exact_parity_mode": {
+            "value": round(parity, 1),
+            "vs_baseline": round(parity / REFERENCE_EXAMPLES_PER_SEC, 3),
+        },
     }))
 
 

@@ -1,9 +1,13 @@
 """Per-kernel microbenchmarks vs. speed-of-light (BASELINE.md kernel goal).
 
 Covers the four hot paths named in BASELINE.json: embedding gather,
-meta-parameter generation, interaction attention, and scoring, each timed
-with a device-transfer fence and reported against the v5e roofline
-(ops/profiling.py).
+meta-parameter generation, interaction attention, and scoring.
+
+Round-2 methodology fix (VERDICT r1 weak #7): every measurement loops REPS
+iterations INSIDE one jit (lax.fori_loop with an i-dependent input so XLA
+cannot hoist the body), then fences with one scalar device->host transfer -
+the ~1.5 ms axon dispatch floor that polluted the round-1 artifact is
+amortized away.
 
 Run on the TPU:
     env PYTHONPATH=/root/repo:/root/.axon_site \
@@ -14,15 +18,33 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+REPS = 16
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _timed(body, x0):
+    """body(i, carry) -> carry, looped REPS times in one jit; returns
+    seconds/iter (scalar-fenced)."""
+    def run(x):
+        out = lax.fori_loop(0, REPS, body, x)
+        return jnp.sum(jax.tree_util.tree_leaves(out)[0])
+
+    f = jax.jit(run)
+    float(f(x0))  # compile + warm
+    t0 = time.time()
+    float(f(x0))
+    return (time.time() - t0) / REPS
 
 
 def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
@@ -40,8 +62,14 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
     bank = embeddings.bank_init(jax.random.PRNGKey(0), layout)
     ids = jnp.asarray(rng.integers(0, vocab_rows - 4,
                                    size=(batch, fields)).astype(np.int32))
-    gather = jax.jit(lambda p, i: embeddings.lookup_rows(p, i, dim))
-    dt = profiling.time_fn(gather, bank, ids, iters=20)
+
+    def gather_body(i, acc):
+        # i-dependent ids prevent loop-invariant hoisting; clip keeps range
+        e = embeddings.lookup_rows(bank, jnp.clip(ids + i, 0, vocab_rows - 4),
+                                   dim)
+        return acc + jnp.sum(e[:, 0])
+
+    dt = _timed(gather_body, jnp.zeros(()))
     bytes_moved = batch * fields * 128 * 4  # physical 128-lane rows
     results["embedding_gather"] = profiling.roofline(dt,
                                                      bytes_moved=bytes_moved)
@@ -53,9 +81,12 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
     enc = core.mlp_init(jax.random.PRNGKey(1), d, [P], init_std=1e-4,
                         final_activation=False)
     table = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
-    meta_gen = jax.jit(lambda p, t: core.mlp_apply(p, t,
-                                                   final_activation=False))
-    dt = profiling.time_fn(meta_gen, enc, table, iters=20)
+
+    def meta_body(i, acc):
+        out = core.mlp_apply(enc, table + i * 1e-9, final_activation=False)
+        return acc + jnp.sum(out)
+
+    dt = _timed(meta_body, jnp.zeros(()))
     results["meta_param_generation"] = profiling.roofline(
         dt, flops=2 * 4 * d * P)
 
@@ -66,12 +97,15 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
     tables.update(K=tables["Q"], V=tables["Q"])
     x = jnp.asarray(rng.normal(size=(batch, fields, d)).astype(np.float32))
     dom = jnp.asarray(rng.integers(0, 4, size=batch))
-    layer = jax.jit(lambda p, x: attention.meta_transformer_apply(
-        p, x, tables, units, mode="QK", head_num=heads, train=False,
-        domain_ids=dom, dense_select=True))
-    dt = profiling.time_fn(layer, params, x, iters=20)
     flops = 2 * batch * fields * (3 * d * d + 2 * (d * 2 * d + 2 * d * d)
                                   + 2 * fields * d + d * d)
+
+    def xla_layer_body(i, xc):
+        return attention.meta_transformer_apply(
+            params, xc, tables, units, mode="QK", head_num=heads,
+            train=False, domain_ids=dom, dense_select=True)
+
+    dt = _timed(xla_layer_body, x)
     results["interaction_attention_xla"] = profiling.roofline(dt, flops=flops)
 
     # fused pallas layer (TPU only; SATRANS_FUSED=0 disables)
@@ -80,18 +114,25 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
             os.environ.get("SATRANS_FUSED", "1") != "0":
         from ..ops.pallas import meta_block
         onehot = jax.nn.one_hot(dom, 4)
-        fused = jax.jit(lambda p, x: meta_block.fused_meta_layer_vjp(
-            x, p, tables, onehot, meta_units=units, head_num=heads,
-            train=False, block_b=128))
-        dt = profiling.time_fn(fused, params, x, iters=20)
+
+        def fused_body(i, xc):
+            return meta_block.fused_meta_layer_vjp(
+                xc, params, tables, onehot, meta_units=units,
+                head_num=heads, train=False, block_b=128)
+
+        dt = _timed(fused_body, x)
         results["interaction_attention_fused"] = profiling.roofline(
             dt, flops=flops)
 
     # --- scoring (head GEMV + sigmoid) ---
     head = core.linear_init(jax.random.PRNGKey(3), fields * d, 1)
     flat = x.reshape(batch, -1)
-    score = jax.jit(lambda p, f: jax.nn.sigmoid(core.linear_apply(p, f)))
-    dt = profiling.time_fn(score, head, flat, iters=20)
+
+    def score_body(i, acc):
+        s = jax.nn.sigmoid(core.linear_apply(head, flat + i * 1e-9))
+        return acc + jnp.sum(s)
+
+    dt = _timed(score_body, jnp.zeros(()))
     results["scoring"] = profiling.roofline(
         dt, flops=2 * batch * fields * d,
         bytes_moved=batch * fields * d * 4)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -630,8 +631,10 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     lno = jnp.stack([layer_params["ln"]["scale"], layer_params["ln"]["bias"]])
     # pad the field axis to a sublane multiple - odd F (19) provokes very
     # slow Mosaic relayout codegen; padded key columns are softmax-masked.
+    # SATRANS_PAD_F tunes the multiple (every [N, *] tensor in the kernel
+    # scales with the padded F, so smaller legal multiples are cheaper).
     f_real = F_
-    pad_f = (-F_) % 8
+    pad_f = (-F_) % int(os.environ.get("SATRANS_PAD_F", "8"))
     if pad_f:
         x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
     cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
