@@ -33,18 +33,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timed(body, x0):
-    """body(i, carry) -> carry, looped REPS times in one jit; returns
-    seconds/iter (scalar-fenced)."""
-    def run(x):
-        out = lax.fori_loop(0, REPS, body, x)
+def _timed(body, x0, name="", *operands):
+    """body(i, carry, *operands) -> carry, looped REPS times in one jit;
+    returns seconds/iter (scalar-fenced).
+
+    ``operands`` are passed as jit ARGUMENTS, never closed over: a closure
+    constant is embedded in the program sent to this container's remote
+    compile service, and an 840 MB embedding bank takes longer to upload
+    than to benchmark."""
+    def run(x, *ops):
+        def it(i, carry):
+            return body(i, carry, *ops)
+        out = lax.fori_loop(0, REPS, it, x)
         return jnp.sum(jax.tree_util.tree_leaves(out)[0])
 
     f = jax.jit(run)
-    float(f(x0))  # compile + warm
+    log(f"[{name}] compiling...")
     t0 = time.time()
-    float(f(x0))
-    return (time.time() - t0) / REPS
+    float(f(x0, *operands))  # compile + warm
+    log(f"[{name}] compile+warm {time.time() - t0:.1f}s")
+    t0 = time.time()
+    float(f(x0, *operands))
+    dt = (time.time() - t0) / REPS
+    log(f"[{name}] {dt * 1e3:.3f} ms/iter")
+    return dt
 
 
 def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
@@ -63,13 +75,14 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
     ids = jnp.asarray(rng.integers(0, vocab_rows - 4,
                                    size=(batch, fields)).astype(np.int32))
 
-    def gather_body(i, acc):
+    def gather_body(i, acc, bank_, ids_):
         # i-dependent ids prevent loop-invariant hoisting; clip keeps range
-        e = embeddings.lookup_rows(bank, jnp.clip(ids + i, 0, vocab_rows - 4),
+        e = embeddings.lookup_rows(bank_,
+                                   jnp.clip(ids_ + i, 0, vocab_rows - 4),
                                    dim)
         return acc + jnp.sum(e[:, 0])
 
-    dt = _timed(gather_body, jnp.zeros(()))
+    dt = _timed(gather_body, jnp.zeros(()), "gather", bank, ids)
     bytes_moved = batch * fields * 128 * 4  # physical 128-lane rows
     results["embedding_gather"] = profiling.roofline(dt,
                                                      bytes_moved=bytes_moved)
@@ -82,11 +95,11 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
                         final_activation=False)
     table = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
 
-    def meta_body(i, acc):
-        out = core.mlp_apply(enc, table + i * 1e-9, final_activation=False)
+    def meta_body(i, acc, enc_, table_):
+        out = core.mlp_apply(enc_, table_ + i * 1e-9, final_activation=False)
         return acc + jnp.sum(out)
 
-    dt = _timed(meta_body, jnp.zeros(()))
+    dt = _timed(meta_body, jnp.zeros(()), "meta_gen", enc, table)
     results["meta_param_generation"] = profiling.roofline(
         dt, flops=2 * 4 * d * P)
 
@@ -100,12 +113,12 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
     flops = 2 * batch * fields * (3 * d * d + 2 * (d * 2 * d + 2 * d * d)
                                   + 2 * fields * d + d * d)
 
-    def xla_layer_body(i, xc):
+    def xla_layer_body(i, xc, params_, tables_, dom_):
         return attention.meta_transformer_apply(
-            params, xc, tables, units, mode="QK", head_num=heads,
-            train=False, domain_ids=dom, dense_select=True)
+            params_, xc, tables_, units, mode="QK", head_num=heads,
+            train=False, domain_ids=dom_, dense_select=True)
 
-    dt = _timed(xla_layer_body, x)
+    dt = _timed(xla_layer_body, x, "attn_xla", params, tables, dom)
     results["interaction_attention_xla"] = profiling.roofline(dt, flops=flops)
 
     # fused pallas layer (TPU only; SATRANS_FUSED=0 disables)
@@ -115,12 +128,12 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
         from ..ops.pallas import meta_block
         onehot = jax.nn.one_hot(dom, 4)
 
-        def fused_body(i, xc):
+        def fused_body(i, xc, params_, tables_, onehot_):
             return meta_block.fused_meta_layer_vjp(
-                xc, params, tables, onehot, meta_units=units,
+                xc, params_, tables_, onehot_, meta_units=units,
                 head_num=heads, train=False, block_b=128)
 
-        dt = _timed(fused_body, x)
+        dt = _timed(fused_body, x, "attn_fused", params, tables, onehot)
         results["interaction_attention_fused"] = profiling.roofline(
             dt, flops=flops)
 
@@ -128,11 +141,11 @@ def run(batch=8192, fields=19, dim=32, vocab_rows=6_571_968, heads=4):
     head = core.linear_init(jax.random.PRNGKey(3), fields * d, 1)
     flat = x.reshape(batch, -1)
 
-    def score_body(i, acc):
-        s = jax.nn.sigmoid(core.linear_apply(head, flat + i * 1e-9))
+    def score_body(i, acc, head_, flat_):
+        s = jax.nn.sigmoid(core.linear_apply(head_, flat_ + i * 1e-9))
         return acc + jnp.sum(s)
 
-    dt = _timed(score_body, jnp.zeros(()))
+    dt = _timed(score_body, jnp.zeros(()), "scoring", head, flat)
     results["scoring"] = profiling.roofline(
         dt, flops=2 * batch * fields * d,
         bytes_moved=batch * fields * d * 4)
