@@ -41,7 +41,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_mode(bank_update: str) -> float:
+def run_mode(bank_update: str, scan_unroll: int = 1) -> float:
     import jax
 
     from satrans_tpu.features import FeatureLayout, SparseFeature
@@ -54,7 +54,7 @@ def run_mode(bank_update: str) -> float:
     model = SATrans(layout=layout, domain_cols=["301"], num_domains_list=[3],
                     domain_att_layer_num=3, att_head_num=4, meta_mode="QK",
                     meta_dnn_hidden_units=(64, 32))
-    trainer = Trainer(model, seed=1021)
+    trainer = Trainer(model, seed=1021, scan_unroll=scan_unroll)
     trainer.compile(learning_rate=0.005, bank_update=bank_update)
     trainer._strategy = trainer._resolve_strategy(None)
     trainer._ensure_initialized()

@@ -76,6 +76,14 @@ def main():
     log(f"bank [{R},{W}] = {R*W*4/1e9:.2f} GB; N={N} ({F}x{B}); "
         f"in-jit x{REPS}")
 
+    # null-body control: any fixed per-iteration fori_loop cost on this
+    # backend inflates every number below by the same amount
+    args["zero"] = jax.device_put(np.zeros((), np.float32))
+    timed("NULL body (scalar carry: loop floor)",
+          lambda i, c: c + jnp.float32(i), "zero")
+    timed("elementwise [N,128] add only",
+          lambda i, c: c + jnp.float32(i), "g")
+
     # sorts
     timed("argsort [N]",
           lambda i, c, ids: jnp.argsort(ids + i).astype(jnp.float32)[:, None]
@@ -250,6 +258,25 @@ def main():
           lambda i, b, ids, g: b.at[ids].set(
               g + i, mode="drop", indices_are_sorted=True,
               unique_indices=True), "bank2", "ids_sorted", "g2")
+
+    # --- sorted-hybrid candidates (round-2 lazy-update redesign) ----------
+    # per-position identical values let a DUP scatter-set stand in for the
+    # unique one; sortedness is the expensive property (5.0 vs 8.1 ms), so:
+    # how much does sorted+dup cost?
+    ids_dup_sorted = np.sort(rng.integers(0, R, N // 4).astype(np.int32)
+                             .repeat(4))
+    args["ids_dup_sorted"] = jax.device_put(ids_dup_sorted)
+    timed("scatter-SET sorted DUP (4x adjacent) -> bank",
+          lambda i, b, ids, g: b.at[ids].set(
+              g + i, mode="drop", indices_are_sorted=True),
+          "bank", "ids_dup_sorted", "g")
+    # the full hybrid critical path: sort pairs -> permute sums -> scatter
+    def hybrid_path(i, b, ids, g):
+        sid, order = lax.sort((ids + 0 * i, lax.iota(jnp.int32, N)))
+        vals = jnp.take(g + i, order, axis=0)
+        return b.at[sid].set(vals, mode="drop", indices_are_sorted=True)
+    timed("HYBRID sort-pairs + take + sorted-dup scatter", hybrid_path,
+          "bank", "ids", "g")
 
 
 if __name__ == "__main__":

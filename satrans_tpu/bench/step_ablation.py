@@ -1,0 +1,197 @@
+"""Decompose the lazy-mode train step's wall-clock (round-2 perf hunt).
+
+bench.py's headline step is ~41 ms; the 3 fused layers account for ~25
+(bench/layer_ablation.py).  This bench knocks out one stage at a time to
+pin the residual ~16 ms before optimizing the wrong thing:
+
+  fwd_only        model.apply, no loss/grad
+  fwd_loss        + strategy loss (still no grad)
+  grad_no_bank    full backward but the gathered bank rows are
+                  stop_gradient'ed (no [N, W] bank cotangent)
+  grad_all        full sparse backward incl. g_rows, NO optimizer at all
+                  (g_rows kept live via a sum)
+  rest_update     grad_all + optax update of the non-bank params only
+  full_lazy       the exact production step (bank_optimizer.lazy_update)
+
+Each variant runs SCAN steps inside one lax.scan per jit call (same shape
+as the Trainer's production program) and is timed over CHUNKS dependent
+calls with a scalar fence.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -m satrans_tpu.bench.step_ablation
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import os
+
+TINY = os.environ.get("SATRANS_BENCH_TINY", "") == "1"  # CPU smoke mode
+SCAN = 2 if TINY else 10
+CHUNKS = 1 if TINY else 4
+BATCH = 256 if TINY else 8192
+
+# AliCCP vocab sizes (reference main.py:124-128), +2 like main.py:182.
+ALICCP_DATA_MAX = {
+    "101": 238635, "121": 98, "122": 14, "124": 3, "125": 8, "126": 4,
+    "127": 4, "128": 3, "129": 5, "205": 467298, "206": 6929, "207": 263942,
+    "216": 106399, "508": 5888, "509": 104830, "702": 51878, "853": 37148,
+    "301": 3, "109_14": 12523,
+}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from satrans_tpu.features import FeatureLayout, SparseFeature
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import Trainer
+    from satrans_tpu.train import bank_optimizer
+
+    shrink = 100 if TINY else 1
+    cols = [SparseFeature(name, max(vocab // shrink, 3) + 2, 32)
+            for name, vocab in ALICCP_DATA_MAX.items()]
+    layout = FeatureLayout(cols)
+    model = SATrans(layout=layout, domain_cols=["301"], num_domains_list=[3],
+                    domain_att_layer_num=3, att_head_num=4, meta_mode="QK",
+                    meta_dnn_hidden_units=(64, 32))
+    trainer = Trainer(model, seed=1021)
+    trainer.compile(learning_rate=0.005, bank_update="lazy")
+    trainer._strategy = trainer._resolve_strategy(None)
+    trainer._ensure_initialized()
+    strategy = trainer._strategy
+    optimizer = trainer.optimizer
+    l2 = float(model.l2_reg_embedding)
+    lr = trainer._lr
+
+    rng = np.random.default_rng(0)
+    sparse = np.stack([rng.integers(0, c.vocab, size=(SCAN, BATCH))
+                       for c in cols], axis=-1).astype(np.int32)
+    batch = {"sparse": jnp.asarray(sparse)}
+    y = jnp.asarray(rng.integers(0, 2, size=(SCAN, BATCH, 1))
+                    .astype(np.float32))
+    w = jnp.ones((SCAN, BATCH), np.float32)
+    rngs = jax.random.split(jax.random.PRNGKey(7), SCAN)
+
+    params0 = trainer.params
+    opt0 = trainer.opt_state
+    state0 = trainer.state
+
+    def scan_of(step):
+        """Wrap a per-step fn into the production-shaped SCAN-step scan."""
+        def run(params, opt_state, state, batches, ys, ws, rs):
+            def body(carry, inp):
+                p, o, s, acc = carry
+                b, yy, ww, r = inp
+                p, o, s, stat = step(p, o, s, b, yy, ww, r)
+                return (p, o, s, acc + stat), ()
+            (params, opt_state, state, acc), _ = jax.lax.scan(
+                body, (params, opt_state, state, jnp.zeros(())),
+                (batches, ys, ws, rs))
+            return params, opt_state, state, acc
+        return jax.jit(run, donate_argnums=(0, 1, 2))
+
+    def sparse_grads(params, state, b, yy, ww, r):
+        b = dict(b, _weight=ww)
+        return bank_optimizer.sparse_bank_grads(
+            model, strategy, params, state, b, yy, ww, r)
+
+    # --- variants ---------------------------------------------------------
+    def fwd_only(p, o, s, b, yy, ww, r):
+        b = dict(b, _weight=ww)
+        pred, s2, aux = model.apply(p, s, b, train=True, rng=r)
+        return p, o, s2, jnp.sum(pred) + aux
+
+    def fwd_loss(p, o, s, b, yy, ww, r):
+        b = dict(b, _weight=ww)
+        pred, s2, aux = model.apply(p, s, b, train=True, rng=r)
+        return p, o, s2, strategy.loss(pred, yy, b, ww) + aux
+
+    def grad_no_bank(p, o, s, b, yy, ww, r):
+        from satrans_tpu import embeddings
+        b = dict(b, _weight=ww)
+        rest, bank = bank_optimizer._split_bank(p)
+        flat_ids = embeddings.bank_gather_plan(p["emb"], model.layout, b)
+        rows = jax.lax.stop_gradient(jnp.take(bank, flat_ids, axis=0))
+
+        def loss_fn(rest_):
+            feed = embeddings.BankRowFeed(rows, bank.shape)
+            pf = bank_optimizer._with_bank(rest_, feed)
+            pred, s2, aux = model.apply(pf, s, b, train=True, rng=r)
+            return strategy.loss(pred, yy, b, ww) + model.reg_loss(pf) + aux, s2
+        g, s2 = jax.grad(loss_fn, has_aux=True)(rest)
+        live = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+        return p, o, s2, live
+
+    def grad_all(p, o, s, b, yy, ww, r):
+        flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
+            p, s, b, yy, ww, r)
+        live = jnp.sum(g_rows) + sum(
+            jnp.sum(x) for x in jax.tree_util.tree_leaves(g_rest))
+        return p, o, s2, live + dl
+
+    def rest_update(p, o, s, b, yy, ww, r):
+        flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
+            p, s, b, yy, ww, r)
+        rest_state, bstate = o
+        rest = bank_optimizer._split_bank(p)[0]
+        updates, rest_state = optimizer.update(g_rest, rest_state, rest)
+        rest_new = optax.apply_updates(rest, updates)
+        p2 = bank_optimizer._with_bank(rest_new, p["emb"]["bank"])
+        return p2, (rest_state, bstate), s2, jnp.sum(g_rows) + dl
+
+    def full_lazy(p, o, s, b, yy, ww, r):
+        flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
+            p, s, b, yy, ww, r)
+        p2, o2 = bank_optimizer.lazy_update(
+            optimizer, p, o, flat_ids, g_rows, g_rest, lr=lr, l2=l2)
+        return p2, o2, s2, dl
+
+    variants = [
+        ("fwd_only", fwd_only),
+        ("fwd_loss", fwd_loss),
+        ("grad_no_bank", grad_no_bank),
+        ("grad_all", grad_all),
+        ("rest_update", rest_update),
+        ("full_lazy", full_lazy),
+    ]
+
+    results = {}
+    for name, step in variants:
+        fn = scan_of(step)
+        p = jax.tree.map(jnp.copy, params0)
+        o = jax.tree.map(jnp.copy, opt0)
+        s = jax.tree.map(jnp.copy, state0)
+        t0 = time.time()
+        p, o, s, acc = fn(p, o, s, batch, y, w, rngs)
+        float(acc)
+        log(f"[{name}] compile+first: {time.time() - t0:.1f}s")
+        p, o, s, acc = fn(p, o, s, batch, y, w, rngs)
+        float(acc)
+        t0 = time.time()
+        for _ in range(CHUNKS):
+            p, o, s, acc = fn(p, o, s, batch, y, w, rngs)
+        float(acc)
+        ms = (time.time() - t0) / (CHUNKS * SCAN) * 1e3
+        results[name] = round(ms, 2)
+        log(f"[{name}] {ms:.2f} ms/step")
+
+    print(json.dumps({
+        "workload": "SATrans AliCCP sota, batch 8192, lazy mode pieces",
+        "method": f"{SCAN}-step scan x {CHUNKS} chunks, scalar fence",
+        "ms_per_step": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,38 @@ def combine_duplicate_rows(ids, g):
     return rep, summed, valid
 
 
+def eqgemm_combine(ids_fb, g_fb, shared_rows=()):
+    """Duplicate-summed gradients per POSITION via per-field equality GEMMs.
+
+    ``ids_fb`` int32 ``[F, B]`` physical row ids (each field's ids are drawn
+    from its own bank row range), ``g_fb`` ``[F, B, W]`` row cotangents.
+    Returns ``s_fb [F, B, W]`` where ``s[f, i]`` is the TOTAL gradient of row
+    ``ids_fb[f, i]`` - i.e. what a segment-sum over duplicates yields, but
+    broadcast back to every duplicate position.
+
+    Why a GEMM: the sort-based combine costs ~7 ms on v5e at N=82k (argsort
+    + payload permute + segment_sum are all ~36-60 ns/index ops), while one
+    ``[F,B,B] @ [F,B,W]`` equality matmul rides the MXU at ~2.7 ms
+    (bench/scatter_primitives.py).  Within a field the equality matrix
+    catches every duplicate; across fields, rows can only be shared where a
+    128-lane physical row straddles a field boundary (``pack_factor``
+    logical rows per physical row) - those few static ``shared_rows`` get an
+    explicit masked-sum correction.
+
+    ``shared_rows``: static list of ``(phys_row, [field_idx, ...])``.
+    """
+    e = (ids_fb[:, :, None] == ids_fb[:, None, :])
+    s = jnp.einsum("fij,fjw->fiw", e.astype(g_fb.dtype), g_fb)
+    for row, fields in shared_rows:
+        fi = jnp.asarray(list(fields))
+        mask = ids_fb[fi] == row                       # [k, B]
+        t = jnp.sum(jnp.where(mask[..., None], g_fb[fi], 0.0),
+                    axis=1)                            # [k, W] per-field sum
+        corr = jnp.sum(t, axis=0)[None] - t            # other fields' sums
+        s = s.at[fi].add(jnp.where(mask[..., None], corr[:, None, :], 0.0))
+    return s
+
+
 @jax.custom_vjp
 def _gather_packed(bank, phys_ids):
     return bank[phys_ids]

@@ -32,6 +32,8 @@ Everything else falls back to the round-1 dense path.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -41,6 +43,54 @@ from .. import embeddings
 ADAM_B1 = 0.9
 ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
+
+
+class EqPlan(NamedTuple):
+    """Static shape info for the equality-GEMM duplicate combine
+    (embeddings.eqgemm_combine): the lazy update reshapes the flat gather
+    plan to ``[B, fields]`` and sums duplicates per field on the MXU instead
+    of sort+segment-sum (~7 ms of ~36-60 ns/index ops at N=82k on v5e)."""
+    fields: int
+    shared: tuple  # ((phys_row, (field_idx, ...)), ...)
+
+
+def make_eq_plan(model) -> EqPlan | None:
+    """EqPlan for models whose packed-bank gather plan is one ``[B, F]``
+    sparse lookup; None where the sort-based combine must be used.
+
+    Requirements: no varlen fields (their ``[B, V, L]`` gathers break the
+    per-field grouping), at least one large-bank field, no shared embedding
+    tables among them (shared tables alias EVERY row across two fields),
+    and only a handful of boundary-shared physical rows (always true for
+    distinct tables: a 128-lane physical row can straddle a field boundary
+    only where a field's first row offset is not a multiple of the pack
+    factor).
+    """
+    layout = model.layout
+    if layout.varlen:
+        return None
+    split = layout.small_split(embeddings.SMALL_TABLE_THRESHOLD)
+    li = split["large_idx"]
+    if not li:
+        return None
+    offs = [int(o) for o in split["large_offsets"]]
+    if len(set(offs)) != len(offs):
+        return None
+    rp = embeddings.pack_factor(layout.embedding_dim)
+    vocabs = [layout.sparse[i].vocab for i in li]
+    ranges = [(o // rp, (o + v - 1) // rp) for o, v in zip(offs, vocabs)]
+    shared: dict[int, set] = {}
+    for a in range(len(ranges)):
+        for c in range(a + 1, len(ranges)):
+            lo = max(ranges[a][0], ranges[c][0])
+            hi = min(ranges[a][1], ranges[c][1])
+            for p in range(lo, hi + 1):
+                shared.setdefault(p, set()).update((a, c))
+    if len(shared) > 4 * len(li):  # pathological overlap: combine by sort
+        return None
+    return EqPlan(fields=len(li),
+                  shared=tuple((p, tuple(sorted(fs)))
+                               for p, fs in sorted(shared.items())))
 
 
 def eligible(model, params) -> bool:
@@ -187,8 +237,16 @@ def lazy_init(optimizer, params):
 
 
 def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
-                *, lr: float, l2: float):
-    """Touched-rows-only bank update (documented deviation, module doc)."""
+                *, lr: float, l2: float, eq_plan: EqPlan | None = None):
+    """Touched-rows-only bank update (documented deviation, module doc).
+
+    With ``eq_plan`` (make_eq_plan), duplicates are combined by equality
+    GEMMs instead of sort+segment-sum and every POSITION carries its row's
+    total gradient; duplicate positions then compute bit-identical Adam
+    results, so a sorted scatter-set with duplicate indices (any writer
+    wins) replaces the unique scatter.  Same update values as the sort
+    path up to f32 summation order.
+    """
     bank = params["emb"]["bank"]
     rest_state, b = opt_state
     count_inc = b["count"] + 1
@@ -197,8 +255,27 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
                                            _split_bank(params)[0])
     rest_new = optax.apply_updates(_split_bank(params)[0], updates)
 
-    u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
-    u_safe = jnp.where(valid, u, 0)
+    if eq_plan is not None and flat_ids.shape[0]:
+        n = flat_ids.shape[0]
+        fl = eq_plan.fields
+        bsz = n // fl
+        w = g_rows.shape[1]
+        # gather-plan order is a [B, F] lookup flattened row-major
+        s = embeddings.eqgemm_combine(
+            flat_ids.reshape(bsz, fl).T,
+            g_rows.reshape(bsz, fl, w).transpose(1, 0, 2),
+            eq_plan.shared)
+        g_pos = s.transpose(1, 0, 2).reshape(n, w)
+        tgt, order = jax.lax.sort(
+            (flat_ids, jax.lax.iota(jnp.int32, n)))
+        gu = jnp.take(g_pos, order, axis=0)
+        u_safe, valid, unique = tgt, None, False
+    else:
+        u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
+        u_safe = jnp.where(valid, u, 0)
+        tgt = jnp.where(valid, u, bank.shape[0])
+        unique = True
+
     k = (count_inc - 1 - jnp.take(b["last"], u_safe)).astype(jnp.float32)
     m_u = jnp.take(b["mu"], u_safe, axis=0) * (ADAM_B1 ** k)[:, None]
     v_u = jnp.take(b["nu"], u_safe, axis=0) * (ADAM_B2 ** k)[:, None]
@@ -207,14 +284,17 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
         * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
     w_u2, m_u2, v_u2 = adam_rows(w_u, m_u, v_u, gu, count_inc, lr)
 
-    tgt = jnp.where(valid, u, bank.shape[0])
-    new_params = _with_bank(rest_new, _overwrite(bank, tgt, w_u2))
+    def over(arr, vals):
+        return arr.at[tgt].set(vals, mode="drop", indices_are_sorted=True,
+                               unique_indices=unique)
+
+    new_params = _with_bank(rest_new, over(bank, w_u2))
     new_b = {
-        "mu": _overwrite(b["mu"], tgt, m_u2),
-        "nu": _overwrite(b["nu"], tgt, v_u2),
+        "mu": over(b["mu"], m_u2),
+        "nu": over(b["nu"], v_u2),
         "last": b["last"].at[tgt].set(count_inc, mode="drop",
                                       indices_are_sorted=True,
-                                      unique_indices=True),
+                                      unique_indices=unique),
         "count": count_inc,
     }
     return new_params, (rest_state, new_b)

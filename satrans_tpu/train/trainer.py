@@ -97,12 +97,19 @@ class DomainRouted:
 
 class Trainer:
     def __init__(self, model, *, mesh=None, shard_embeddings: bool = False,
-                 embedding_exchange: str = "xla", seed: int = 1024):
+                 embedding_exchange: str = "xla", seed: int = 1024,
+                 scan_unroll: int = 1):
         """``embedding_exchange``: how a row-sharded bank is read in the
         sparse bank-update modes - ``'xla'`` (default) leaves the gather to
         the SPMD partitioner; ``'alltoall'`` uses the explicit two-round
         exchange (parallel/embedding_sharded.alltoall_lookup, exact
-        capacity).  Requires ``mesh`` + ``shard_embeddings``."""
+        capacity).  Requires ``mesh`` + ``shard_embeddings``.
+
+        ``scan_unroll``: unroll factor for the fused multi-step train scan
+        (fit's ``scan_steps``).  XLA While loops carry a fixed per-iteration
+        cost on some backends (~2.5 ms/step through this container's axon
+        tunnel - bench/scatter_primitives.py null-body control); unrolling
+        trades program size for removing it."""
         if embedding_exchange not in ("xla", "alltoall"):
             raise ValueError(f"unknown embedding_exchange "
                              f"{embedding_exchange!r}")
@@ -115,6 +122,7 @@ class Trainer:
         self.mesh = mesh
         self.shard_embeddings = shard_embeddings
         self.embedding_exchange = embedding_exchange
+        self.scan_unroll = int(scan_unroll)
         self.seed = int(seed)
         self.stop_training = False
         self.history = cb.History()
@@ -190,6 +198,10 @@ class Trainer:
 
             l2 = float(model.l2_reg_embedding)
             lr = self._lr
+            # lazy only: the equality-GEMM combine changes f32 summation
+            # order, so the exact-parity 'fused' mode keeps the sort combine
+            eq_plan = (bank_optimizer.make_eq_plan(model)
+                       if bank_mode == "lazy" else None)
             gather_fn = None
             if self.embedding_exchange == "alltoall":
                 from ..parallel import embedding_sharded as _es
@@ -220,7 +232,7 @@ class Trainer:
                     # lazy: bank L2 applied as decoupled decay, not reported
                     params, opt_state = bank_optimizer.lazy_update(
                         self.optimizer, params, opt_state, flat_ids, g_rows,
-                        g_rest, lr=lr, l2=l2)
+                        g_rest, lr=lr, l2=l2, eq_plan=eq_plan)
                 stats = {"loss": data_loss, "reg_loss": reg, "aux_loss": aux,
                          "count": jnp.sum(weight)}
                 return params, opt_state, new_state, stats
@@ -263,7 +275,8 @@ class Trainer:
                 return (p, o, s), stats
 
             (params, opt_state, state), stats = jax.lax.scan(
-                body, (params, opt_state, state), (batches, ys, ws, rngs))
+                body, (params, opt_state, state), (batches, ys, ws, rngs),
+                unroll=self.scan_unroll)
             totals = jax.tree.map(jnp.sum, stats)
             return params, opt_state, state, totals
 

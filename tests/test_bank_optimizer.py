@@ -216,3 +216,72 @@ def test_alltoall_requires_fused_and_mesh():
     tr._strategy = tr._resolve_strategy(None)
     with pytest.raises(ValueError, match="fused"):
         tr._ensure_initialized()
+
+
+def test_eqgemm_combine_matches_duplicate_sum():
+    """eqgemm_combine == per-row duplicate sum, incl. boundary-shared rows
+    (a physical row straddling two fields' logical ranges)."""
+    rng = np.random.default_rng(3)
+    F, B, W = 3, 64, 16
+    # field row ranges [0,10), [10,20), [20,30) with rows 9/10 and 19/20
+    # arranged so rows 10 and 20 are drawn by BOTH neighbouring fields
+    ids = np.stack([rng.integers(0, 11, B), rng.integers(10, 21, B),
+                    rng.integers(20, 30, B)]).astype(np.int32)
+    g = rng.normal(size=(F, B, W)).astype(np.float32)
+    shared = ((10, (0, 1)), (20, (1, 2)))
+    s = np.asarray(embeddings.eqgemm_combine(jnp.asarray(ids),
+                                             jnp.asarray(g), shared))
+    flat_ids = ids.reshape(-1)
+    flat_g = g.reshape(-1, W)
+    for pos in range(F * B):
+        want = flat_g[flat_ids == flat_ids[pos]].sum(axis=0)
+        np.testing.assert_allclose(s.reshape(-1, W)[pos], want,
+                                   atol=1e-4, rtol=1e-5)
+
+
+def test_lazy_eq_plan_matches_sort_path():
+    """lazy_update with an EqPlan == the sort-based combine (same formulas,
+    f32 summation order aside)."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    plan = bank_optimizer.make_eq_plan(model)
+    assert plan is not None and plan.fields == 3
+    # vocab 300 is not a multiple of the dim-8 pack factor (16): the plan
+    # must carry the straddled boundary rows
+    assert len(plan.shared) == 2
+
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = bank_optimizer.lazy_init(opt, params)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = embeddings.bank_gather_plan(params["emb"], layout, batch)
+    rng = np.random.default_rng(0)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    p_sort, s_sort = jax.jit(
+        lambda p, o: bank_optimizer.lazy_update(
+            opt, p, o, flat_ids, g_rows, g_rest, lr=0.01, l2=1e-4))(
+        params, opt_state)
+    p_eq, s_eq = jax.jit(
+        lambda p, o: bank_optimizer.lazy_update(
+            opt, p, o, flat_ids, g_rows, g_rest, lr=0.01, l2=1e-4,
+            eq_plan=plan))(params, opt_state)
+    np.testing.assert_allclose(np.asarray(p_sort["emb"]["bank"]),
+                               np.asarray(p_eq["emb"]["bank"]),
+                               atol=2e-5, rtol=1e-4)
+    for key in ("mu", "nu", "last"):
+        np.testing.assert_allclose(np.asarray(s_sort[1][key]),
+                                   np.asarray(s_eq[1][key]),
+                                   atol=2e-5, rtol=1e-4)
