@@ -194,9 +194,9 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
                                 preferred_element_type=F32)  # [G, n, n]
         s = s + mask
         s = _softmax_lastdim(s)
+        s_keep.append(s)  # PRE-dropout probabilities (the stash residual)
         if train and drop_rate > 0.0:
             s = s * _dropout_mask(s.shape, drop_rate)
-        s_keep.append(s)
         o = jax.lax.dot_general(s, vh, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=F32)  # [G, n, dh]
         outs.append(o)
@@ -204,10 +204,13 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
     return o, s_keep
 
 
-def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
-                lnq_ref, wout_ref, lno_ref, mask_ref, out_ref, *,
-                D: int, h: int, head_num: int, drop_rate: float, train: bool,
-                f_real: int | None = None, attn_cap: int | None = None):
+def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
+                 lnq_ref, wout_ref, lno_ref, mask_ref, *,
+                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
+                 f_real: int | None, attn_cap: int | None):
+    """Shared forward body.  Returns ``(y, qkv, uq, uk, s_keep, o)`` -
+    the extras are the stash-mode residuals (``uq``/``uk`` are the pre-LN
+    sums, ``s_keep`` the PRE-dropout attention probabilities per head)."""
     TB, F_, d = x_ref.shape
     if train and drop_rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -224,24 +227,60 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     yq, _ = _meta_apply(q0, w1cat_ref[:], w2cat_ref[:], onehot_rows, D, h, d)
     if train and drop_rate > 0.0:
         yq = yq * _dropout_mask(yq.shape, drop_rate)
-    qn, _, _ = _layer_norm_fwd(yq + q0, lnq_ref[0], lnq_ref[1])
+    uq = yq + q0
+    qn, _, _ = _layer_norm_fwd(uq, lnq_ref[0], lnq_ref[1])
 
     yk, _ = _meta_apply(k0, w1cat_ref[:], w2cat_ref[:], onehot_rows, D, h, d)
     if train and drop_rate > 0.0:
         yk = yk * _dropout_mask(yk.shape, drop_rate)
-    kn, _, _ = _layer_norm_fwd(yk + k0, lnq_ref[0], lnq_ref[1])
+    uk = yk + k0
+    kn, _, _ = _layer_norm_fwd(uk, lnq_ref[0], lnq_ref[1])
 
-    o, _ = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
-                      v0.reshape(TB, F_, d), head_num, F_, d,
-                      drop_rate=drop_rate, train=train, f_real=f_real,
-                      attn_cap=attn_cap, mask=mask_ref[:])
+    o, s_keep = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
+                           v0.reshape(TB, F_, d), head_num, F_, d,
+                           drop_rate=drop_rate, train=train, f_real=f_real,
+                           attn_cap=attn_cap, mask=mask_ref[:])
     z = jnp.dot(o.reshape(TB * F_, d), wout_ref[:],
                 preferred_element_type=F32)
     if train and drop_rate > 0.0:
         z = z * _dropout_mask(z.shape, drop_rate)
     u = z.reshape(TB, F_, d) + x
     y, _, _ = _layer_norm_fwd(u, lno_ref[0], lno_ref[1])
+    return y, qkv, uq, uk, s_keep, o
+
+
+def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
+                lnq_ref, wout_ref, lno_ref, mask_ref, out_ref, *,
+                D: int, h: int, head_num: int, drop_rate: float, train: bool,
+                f_real: int | None = None, attn_cap: int | None = None):
+    y, *_ = _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
+                         w2cat_ref, lnq_ref, wout_ref, lno_ref, mask_ref,
+                         D=D, h=h, head_num=head_num, drop_rate=drop_rate,
+                         train=train, f_real=f_real, attn_cap=attn_cap)
     out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
+                      w2cat_ref, lnq_ref, wout_ref, lno_ref, mask_ref,
+                      out_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref, *,
+                      D: int, h: int, head_num: int, drop_rate: float,
+                      train: bool, f_real: int | None = None,
+                      attn_cap: int | None = None):
+    """Forward that also stores the backward's residuals (see
+    _bwd_kernel_stash): HBM traffic (~450 MB/layer at B=8192) bought back
+    ~2x in skipped backward recompute on v5e (docs/PERFORMANCE.md r2)."""
+    TB, F_, d = x_ref.shape
+    y, qkv, uq, uk, s_keep, o = _fwd_compute(
+        seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref, lnq_ref,
+        wout_ref, lno_ref, mask_ref, D=D, h=h, head_num=head_num,
+        drop_rate=drop_rate, train=train, f_real=f_real, attn_cap=attn_cap)
+    out_ref[:] = y.astype(out_ref.dtype)
+    qkv_ref[:] = qkv.reshape(TB, F_, 3 * d)
+    uq_ref[:] = uq.reshape(TB, F_, d)
+    uk_ref[:] = uk.reshape(TB, F_, d)
+    for hd in range(len(s_keep)):
+        s_ref[hd] = s_keep[hd]
+    o_ref[:] = o
 
 
 def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
@@ -492,55 +531,263 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     dlno_ref[1] += dlno_b
 
 
+def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
+                      w2cat_ref, lnq_ref, wout_ref, lno_ref, mask_ref, g_ref,
+                      qkv_ref, uq_ref, uk_ref, s_ref, o_ref,
+                      dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
+                      dwout_ref, dlno_ref, *,
+                      D: int, h: int, head_num: int, drop_rate: float,
+                      train: bool, f_real: int | None = None,
+                      attn_cap: int | None = None):
+    """Backward consuming the forward's stashed residuals.
+
+    Twin of :func:`_bwd_kernel` (same backward math - both are pinned to the
+    XLA path by tests/test_pallas_meta_block.py); instead of recomputing the
+    whole forward it reads ``qkv``/``uq``/``uk``/``s``/``o`` and recomputes
+    only the two relu hidden layers and ``z`` (one GEMM each).  Dropout
+    masks are regenerated from the PRNG in the forward's draw order.
+    """
+    TB, F_, d = x_ref.shape
+    N = TB * F_
+    dh = d // head_num
+    scale = 1.0 / math.sqrt(dh)
+    use_drop = train and drop_rate > 0.0
+
+    # ---- regenerate dropout masks in the forward draw order ----
+    if use_drop:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        m_yq = _dropout_mask((N, d), drop_rate)
+        m_yk = _dropout_mask((N, d), drop_rate)
+        g_attn0 = _attn_group(TB, F_, attn_cap)
+        m_s = [_dropout_mask((TB // g_attn0, g_attn0 * F_, g_attn0 * F_),
+                             drop_rate) for _ in range(head_num)]
+        m_z = _dropout_mask((N, d), drop_rate)
+
+    x = x_ref[:].astype(F32)
+    x2 = x.reshape(N, d)
+    onehot = dom_ref[:]
+    onehot_rows = jnp.broadcast_to(onehot[:, None, :],
+                                   (TB, F_, onehot.shape[1])
+                                   ).reshape(N, onehot.shape[1])
+    w1cat = w1cat_ref[:]
+    w2cat = w2cat_ref[:]
+    wqkv = wqkv_ref[:]
+    wout = wout_ref[:]
+
+    # ---- load stashed residuals; light recompute of the cheap pieces ----
+    qkv = qkv_ref[:].reshape(N, 3 * d)
+    q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+    mask_rows = jnp.dot(onehot_rows, _expand_const(D, h),
+                        preferred_element_type=F32)
+    hq = jax.nn.relu(jnp.dot(q0, w1cat, preferred_element_type=F32)) \
+        * mask_rows
+    hk = jax.nn.relu(jnp.dot(k0, w1cat, preferred_element_type=F32)) \
+        * mask_rows
+    qn, xhat_q, inv_q = _layer_norm_fwd(uq_ref[:].reshape(N, d),
+                                        lnq_ref[0], lnq_ref[1])
+    kn, xhat_k, inv_k = _layer_norm_fwd(uk_ref[:].reshape(N, d),
+                                        lnq_ref[0], lnq_ref[1])
+
+    g_attn = _attn_group(TB, F_, attn_cap)
+    groups = TB // g_attn
+    n_attn = g_attn * F_
+    q3 = (qn * scale).reshape(groups, n_attn, d)
+    k3 = kn.reshape(groups, n_attn, d)
+    v3 = v0.reshape(groups, n_attn, d)
+
+    s_list = [s_ref[hd] for hd in range(head_num)]
+    sm_list = [s * m_s[hd] if use_drop else s
+               for hd, s in enumerate(s_list)]
+
+    o2 = o_ref[:].reshape(N, d)
+    z = jnp.dot(o2, wout, preferred_element_type=F32)
+    if use_drop:
+        z = z * m_z
+    u = z.reshape(TB, F_, d) + x
+    _, xhat_o, inv_o = _layer_norm_fwd(u, lno_ref[0], lno_ref[1])
+
+    # ---- backward (same math as _bwd_kernel) ----
+    g = g_ref[:].astype(F32)
+    dlno_s = jnp.sum(g * xhat_o, axis=(0, 1))
+    dlno_b = jnp.sum(g, axis=(0, 1))
+    du = _layer_norm_bwd(g, xhat_o, inv_o, lno_ref[0])
+    dx = du  # residual
+    dz = du.reshape(N, d)
+    if use_drop:
+        dz = dz * m_z
+    dwout = jnp.dot(o2.T, dz, preferred_element_type=F32)
+    do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
+    do3 = do2.reshape(groups, n_attn, d)
+
+    dqn_parts, dkn_parts, dv_parts = [], [], []
+    for hd in range(head_num):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        do_h = do3[..., sl]
+        vh = v3[..., sl]
+        s = s_list[hd]
+        sm = sm_list[hd]
+        ds_used = jax.lax.dot_general(do_h, vh, (((2,), (2,)), ((0,), (0,))),
+                                      preferred_element_type=F32)
+        dvh = jax.lax.dot_general(sm, do_h, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
+        dv_parts.append(dvh)
+        ds = ds_used * m_s[hd] if use_drop else ds_used
+        da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
+        qh, kh = q3[..., sl], k3[..., sl]
+        dqh = jax.lax.dot_general(da, kh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
+        dkh = jax.lax.dot_general(da, qh, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
+        dqn_parts.append(dqh)
+        dkn_parts.append(dkh)
+    dqn = jnp.concatenate(dqn_parts, axis=-1).reshape(TB, F_, d) * scale
+    dkn = jnp.concatenate(dkn_parts, axis=-1).reshape(TB, F_, d)
+    dv3 = jnp.concatenate(dv_parts, axis=-1)
+
+    def meta_bwd(dyn, xhat, inv, t0, hm, y_mask):
+        dls = jnp.sum(dyn * xhat, axis=0)
+        dlb = jnp.sum(dyn, axis=0)
+        duq = _layer_norm_bwd(dyn, xhat, inv, lnq_ref[0])
+        dy = duq * y_mask if y_mask is not None else duq
+        dt0 = duq  # residual branch
+        dhm = jnp.dot(dy, w2cat.T, preferred_element_type=F32)
+        dh0 = dhm * (hm > 0).astype(F32)
+        dw2c = jnp.dot(hm.T, dy, preferred_element_type=F32)
+        dw1c = jnp.dot(t0.T, dh0, preferred_element_type=F32)
+        dt0 = dt0 + jnp.dot(dh0, w1cat.T, preferred_element_type=F32)
+        return dt0, dw1c, dw2c, dls, dlb
+
+    dq0, dw1c_q, dw2c_q, dls_q, dlb_q = meta_bwd(
+        dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
+        m_yq if use_drop else None)
+    dk0, dw1c_k, dw2c_k, dls_k, dlb_k = meta_bwd(
+        dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
+        m_yk if use_drop else None)
+
+    dqkv = jnp.concatenate([dq0, dk0, dv3.reshape(N, d)], axis=1)
+    dwqkv = jnp.dot(x2.T, dqkv, preferred_element_type=F32)
+    dx = dx + jnp.dot(dqkv, wqkv.T,
+                      preferred_element_type=F32).reshape(TB, F_, d)
+
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dw1cat_ref[:] = jnp.zeros_like(dw1cat_ref)
+        dw2cat_ref[:] = jnp.zeros_like(dw2cat_ref)
+        dlnq_ref[:] = jnp.zeros_like(dlnq_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dlno_ref[:] = jnp.zeros_like(dlno_ref)
+
+    dwqkv_ref[:] += dwqkv
+    dw1cat_ref[:] += dw1c_q + dw1c_k
+    dw2cat_ref[:] += dw2c_q + dw2c_k
+    dlnq_ref[0] += dls_q + dls_k
+    dlnq_ref[1] += dlb_q + dlb_k
+    dwout_ref[:] += dwout
+    dlno_ref[0] += dlno_s
+    dlno_ref[1] += dlno_b
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
+def _common_in_specs(block_b, F_, d, D, h, mask_shape):
+    return [
+        pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
+        pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+        pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec(mask_shape, lambda i, *_: (0, 0, 0)),
+    ]
+
+
+def _stash_specs(B, block_b, F_, d, head_num, g_att):
+    """(out_shapes, out_specs) for the stashed residuals."""
+    groups_t = block_b // g_att
+    n = g_att * F_
+    shapes = (
+        jax.ShapeDtypeStruct((B, F_, 3 * d), F32),               # qkv
+        jax.ShapeDtypeStruct((B, F_, d), F32),                   # uq
+        jax.ShapeDtypeStruct((B, F_, d), F32),                   # uk
+        jax.ShapeDtypeStruct((head_num, B // g_att, n, n), F32),  # s
+        jax.ShapeDtypeStruct((B, F_, d), F32),                   # o
+    )
+    specs = (
+        pl.BlockSpec((block_b, F_, 3 * d), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((head_num, groups_t, n, n),
+                     lambda i, *_: (0, i, 0, 0)),
+        pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+    )
+    return shapes, specs
+
+
 def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
+    """Forward kernel dispatch.  With ``cfg.stash`` returns
+    ``(y, qkv, uq, uk, s, o)``; otherwise just ``y``."""
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap) = cfg
-    kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
-                               drop_rate=drop_rate, train=train,
-                               f_real=f_real, attn_cap=attn_cap)
+     attn_cap, stash) = cfg
     g_att = _attn_group(block_b, F_, attn_cap)
     mask = _block_mask(block_b // g_att, g_att, F_,
                        f_real if f_real is not None else F_)
+    in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
+    y_shape = jax.ShapeDtypeStruct((B, F_, d), x.dtype)
+    y_spec = pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0))
+    if stash:
+        st_shapes, st_specs = _stash_specs(B, block_b, F_, d, head_num,
+                                           g_att)
+        kern, out_shape, out_specs = (_fwd_kernel_stash,
+                                      (y_shape,) + st_shapes,
+                                      (y_spec,) + st_specs)
+    else:
+        kern, out_shape, out_specs = _fwd_kernel, y_shape, y_spec
+    kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
+                               drop_rate=drop_rate, train=train,
+                               f_real=f_real, attn_cap=attn_cap)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B // block_b,),
-            in_specs=[
-                pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
-                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+            in_specs=in_specs,
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask)
 
 
-def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
+def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
+              stash_res=None):
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap) = cfg
-    kernel = functools.partial(_bwd_kernel, D=D, h=h, head_num=head_num,
+     attn_cap, stash) = cfg
+    kern = _bwd_kernel_stash if stash else _bwd_kernel
+    kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap)
     g_att = _attn_group(block_b, F_, attn_cap)
     mask = _block_mask(block_b // g_att, g_att, F_,
                        f_real if f_real is not None else F_)
+    in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
+    in_specs.append(pl.BlockSpec((block_b, F_, d),
+                                 lambda i, *_: (i, 0, 0)))  # g
+    operands = [seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask, g]
+    if stash:
+        _, st_specs = _stash_specs(B, block_b, F_, d, head_num, g_att)
+        in_specs.extend(st_specs)
+        operands.extend(stash_res)
     out_shapes = (
         jax.ShapeDtypeStruct((B, F_, d), x.dtype),        # dx
         jax.ShapeDtypeStruct((d, 3 * d), F32),            # dwqkv
@@ -555,18 +802,7 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B // block_b,),
-            in_specs=[
-                pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
-                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
-                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
@@ -581,23 +817,29 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask, g)
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _fused_layer(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
-    return _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
+    y = _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
+    return y[0] if cfg[9] else y
 
 
 def _fused_layer_fwd(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
-    y = _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
-    return y, (x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed)
+    out = _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
+    if cfg[9]:
+        y, *stash_res = out
+        return y, (x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed,
+                   tuple(stash_res))
+    return out, (x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, None)
 
 
 def _fused_layer_bwd(cfg, res, g):
-    x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed = res
+    x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, stash_res = res
     dx, dwqkv, dw1cat, dw2cat, dlnq, dwout, dlno = _bwd_call(
-        x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg)
+        x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
+        stash_res=stash_res)
     return (dx, dwqkv, dw1cat, dw2cat, dlnq, dwout, dlno,
             jnp.zeros_like(onehot), jnp.zeros_like(seed))
 
@@ -609,11 +851,19 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                          meta_units, head_num: int, drop_rate: float = 0.1,
                          train: bool = False, seed: int = 0,
                          block_b: int = 128, interpret: bool = False,
-                         attn_cap: int | None = None):
+                         attn_cap: int | None = None,
+                         bwd: str | None = None):
     """Differentiable fused layer.  The packing (concats/reshapes) happens
     outside the custom-vjp boundary so XLA autodiffs it, routing gradients
     back to the original parameter structure including the per-domain flat
-    meta tables."""
+    meta tables.
+
+    ``bwd``: ``'stash'`` (default; env ``SATRANS_BWD`` overrides) stores the
+    forward residuals (qkv, pre-LN sums, attention probs, attention output)
+    to HBM and the backward skips the flash-style recompute;
+    ``'recompute'`` is the round-1 behavior (backward regenerates the
+    forward internals).  Same math either way - both backward kernels are
+    pinned to the XLA reference by tests."""
     B, F_, d = x.shape
     D = domain_onehot.shape[1]
     h = meta_units[1]
@@ -637,8 +887,12 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     pad_f = (-F_) % int(os.environ.get("SATRANS_PAD_F", "8"))
     if pad_f:
         x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
+    if bwd is None:
+        bwd = os.environ.get("SATRANS_BWD", "stash")
+    if bwd not in ("stash", "recompute"):
+        raise ValueError(f"unknown bwd mode {bwd!r}")
     cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
-           f_real if pad_f else None, attn_cap)
+           f_real if pad_f else None, attn_cap, bwd == "stash")
     seed_arr = jnp.asarray([seed], jnp.int32)
     y = _fused_layer(x, wqkv, w1cat, w2cat, lnq,
                      layer_params["wout"], lno,

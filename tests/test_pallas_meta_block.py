@@ -51,8 +51,9 @@ def test_fused_forward_tilings(B, blk):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_fused_vjp_matches_reference_grads():
-    """Backward kernel vs jax.grad of the XLA reference implementation."""
+@pytest.mark.parametrize("bwd", ["stash", "recompute"])
+def test_fused_vjp_matches_reference_grads(bwd):
+    """Backward kernels (both modes) vs jax.grad of the XLA reference."""
     x, params, tables, dom, onehot, units, H = _setup(B=32)
 
     def ref_loss(x, params, tables):
@@ -65,7 +66,7 @@ def test_fused_vjp_matches_reference_grads():
     def fused_loss(x, params, tables):
         y = meta_block.fused_meta_layer_vjp(
             x, params, tables, onehot, meta_units=units, head_num=H,
-            train=False, block_b=16, interpret=True)
+            train=False, block_b=16, interpret=True, bwd=bwd)
         return jnp.sum(jnp.sin(y))
 
     args = (x, params, {"Q": tables["Q"]})
