@@ -88,7 +88,7 @@ def main():
             return x
         return step
 
-    def fused_fwdbwd(train, block_b, layers=1, seed0=7):
+    def fused_fwdbwd(train, block_b, layers=1, seed0=7, bwd=None):
         from ..ops.pallas import meta_block
 
         def loss(x):
@@ -96,7 +96,7 @@ def main():
                 x = meta_block.fused_meta_layer_vjp(
                     x, params, tables, onehot, meta_units=units,
                     head_num=HEADS, train=train, seed=seed0 + l,
-                    block_b=block_b)
+                    block_b=block_b, bwd=bwd)
             return jnp.sum(x * x)
 
         def step(i, x):
@@ -127,12 +127,14 @@ def main():
     log(f"x [{B},{F},{d}] fp32; {REPS} chained reps in one jit")
     timed("fused fwd eval b128", fused_fwd(False, 128))
     timed("fused fwd train b128", fused_fwd(True, 128))
-    timed("fused fwd+bwd train b128", fused_fwdbwd(True, 128))
-    timed("fused fwd+bwd eval b128", fused_fwdbwd(False, 128))
-    timed("fused fwd train b256", fused_fwd(True, 256))
-    timed("fused fwd+bwd train b256", fused_fwdbwd(True, 256))
-    timed("fused fwd+bwd train b512", fused_fwdbwd(True, 512))
-    timed("fused 3-layer fwd+bwd train b128", fused_fwdbwd(True, 128, 3))
+    timed("fused fwd+bwd train b128 STASH",
+          fused_fwdbwd(True, 128, bwd="stash"))
+    timed("fused fwd+bwd train b128 RECOMPUTE",
+          fused_fwdbwd(True, 128, bwd="recompute"))
+    timed("fused 3-layer fwd+bwd train b128 STASH",
+          fused_fwdbwd(True, 128, 3, bwd="stash"))
+    timed("fused 3-layer fwd+bwd train b128 RECOMPUTE",
+          fused_fwdbwd(True, 128, 3, bwd="recompute"))
     timed("xla fwd eval", xla_fwd(False))
     timed("xla fwd train", xla_fwd(True))
     timed("xla fwd+bwd train", xla_fwdbwd(True))

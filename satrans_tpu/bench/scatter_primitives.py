@@ -126,12 +126,13 @@ def main():
               g + i, mode="drop", indices_are_sorted=True,
               unique_indices=True), "bank", "ids_sorted", "g")
 
-    # gathers
+    # gathers (i-dependent ids so the gather cannot be hoisted out of the
+    # rep loop)
     timed("gather bank[ids] (fill default)",
-          lambda i, c, b, ids: jnp.take(b, ids + 0 * i, axis=0), "g",
+          lambda i, c, b, ids: jnp.take(b, ids + i, axis=0), "g",
           "bank", "ids")
     timed("gather bank[ids] (clip)",
-          lambda i, c, b, ids: jnp.take(b, ids + 0 * i, axis=0,
+          lambda i, c, b, ids: jnp.take(b, ids + i, axis=0,
                                         mode="clip"), "g", "bank", "ids")
 
     # equality-GEMM duplicate-sum (per-field, XLA)
@@ -270,9 +271,12 @@ def main():
           lambda i, b, ids, g: b.at[ids].set(
               g + i, mode="drop", indices_are_sorted=True),
           "bank", "ids_dup_sorted", "g")
-    # the full hybrid critical path: sort pairs -> permute sums -> scatter
+    # the full hybrid critical path: sort pairs -> permute sums -> scatter.
+    # ids must be i-DEPENDENT (`+ i`, not `+ 0*i` which folds to a constant
+    # and lets XLA hoist the sort out of the rep loop).
     def hybrid_path(i, b, ids, g):
-        sid, order = lax.sort((ids + 0 * i, lax.iota(jnp.int32, N)))
+        sid, order = lax.sort((jnp.clip(ids + i, 0, R - 1),
+                               lax.iota(jnp.int32, N)))
         vals = jnp.take(g + i, order, axis=0)
         return b.at[sid].set(vals, mode="drop", indices_are_sorted=True)
     timed("HYBRID sort-pairs + take + sorted-dup scatter", hybrid_path,

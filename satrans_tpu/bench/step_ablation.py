@@ -11,7 +11,9 @@ pin the residual ~16 ms before optimizing the wrong thing:
   grad_all        full sparse backward incl. g_rows, NO optimizer at all
                   (g_rows kept live via a sum)
   rest_update     grad_all + optax update of the non-bank params only
-  full_lazy       the exact production step (bank_optimizer.lazy_update)
+  full_lazy       the exact production step (lazy_update with the EqPlan
+                  combine the Trainer passes)
+  full_lazy_sort  same update through the sort-based combine
 
 Each variant runs SCAN steps inside one lax.scan per jit call (same shape
 as the Trainer's production program) and is timed over CHUNKS dependent
@@ -150,7 +152,19 @@ def main():
         p2 = bank_optimizer._with_bank(rest_new, p["emb"]["bank"])
         return p2, (rest_state, bstate), s2, jnp.sum(g_rows) + dl
 
+    eq_plan = bank_optimizer.make_eq_plan(model)
+
     def full_lazy(p, o, s, b, yy, ww, r):
+        # the production step: eq-GEMM combine (what Trainer passes)
+        flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
+            p, s, b, yy, ww, r)
+        p2, o2 = bank_optimizer.lazy_update(
+            optimizer, p, o, flat_ids, g_rows, g_rest, lr=lr, l2=l2,
+            eq_plan=eq_plan)
+        return p2, o2, s2, dl
+
+    def full_lazy_sort(p, o, s, b, yy, ww, r):
+        # same update through the sort-based combine (pre-EqPlan path)
         flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
             p, s, b, yy, ww, r)
         p2, o2 = bank_optimizer.lazy_update(
@@ -164,6 +178,7 @@ def main():
         ("grad_all", grad_all),
         ("rest_update", rest_update),
         ("full_lazy", full_lazy),
+        ("full_lazy_sort", full_lazy_sort),
     ]
 
     results = {}

@@ -242,10 +242,14 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
 
     With ``eq_plan`` (make_eq_plan), duplicates are combined by equality
     GEMMs instead of sort+segment-sum and every POSITION carries its row's
-    total gradient; duplicate positions then compute bit-identical Adam
-    results, so a sorted scatter-set with duplicate indices (any writer
-    wins) replaces the unique scatter.  Same update values as the sort
-    path up to f32 summation order.
+    total gradient, so a sorted scatter-set with duplicate indices (any
+    writer wins) replaces the unique scatter.  Duplicate positions within
+    one field compute bit-identical Adam results (same reduction order);
+    positions of a boundary-SHARED row seen from different fields agree
+    only up to f32 summation order (the masked-sum correction vs the GEMM
+    reduction), so the stored value for those few rows is any one of
+    ulp-close candidates.  Same update values as the sort path up to f32
+    summation order.
     """
     bank = params["emb"]["bank"]
     rest_state, b = opt_state

@@ -295,9 +295,10 @@ class Trainer:
         elig = (self._opt_is_adam
                 and bank_optimizer.eligible(self.model, self.params))
         if mode == "auto":
-            # 'dense' until the duplicate-combine redesign makes 'fused'
-            # measurably faster on-chip (bench/bank_modes.py: the argsort +
-            # segment_sum combine currently dominates every sparse variant).
+            # 'dense' is the fastest EXACT-parity mode on v5e ('fused' pays
+            # the same dense Adam pass plus the touched-row overwrite
+            # scatters - bench/bank_modes.py); 'lazy' is faster still but a
+            # documented deviation, so it stays opt-in.
             mode = "dense"
         elif mode in ("fused", "lazy") and not elig:
             raise ValueError(
