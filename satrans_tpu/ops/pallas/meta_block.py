@@ -532,7 +532,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
 
 def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
-                      w2cat_ref, lnq_ref, wout_ref, lno_ref, mask_ref, g_ref,
+                      w2cat_ref, lnq_ref, wout_ref, lno_ref, g_ref,
                       qkv_ref, uq_ref, uk_ref, s_ref, o_ref,
                       dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
                       dwout_ref, dlno_ref, *,
@@ -694,8 +694,11 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
-def _common_in_specs(block_b, F_, d, D, h, mask_shape):
-    return [
+def _common_in_specs(block_b, F_, d, D, h, mask_shape=None):
+    """Input specs shared by the kernels; ``mask_shape=None`` omits the
+    attention block-mask operand (the stash backward reads probabilities
+    from the residuals and never touches the mask)."""
+    specs = [
         pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
         pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
@@ -704,8 +707,10 @@ def _common_in_specs(block_b, F_, d, D, h, mask_shape):
         pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
         pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
         pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-        pl.BlockSpec(mask_shape, lambda i, *_: (0, 0, 0)),
     ]
+    if mask_shape is not None:
+        specs.append(pl.BlockSpec(mask_shape, lambda i, *_: (0, 0, 0)))
+    return specs
 
 
 def _stash_specs(B, block_b, F_, d, head_num, g_att):
@@ -778,12 +783,17 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap)
     g_att = _attn_group(block_b, F_, attn_cap)
-    mask = _block_mask(block_b // g_att, g_att, F_,
-                       f_real if f_real is not None else F_)
-    in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
+    if stash:
+        in_specs = _common_in_specs(block_b, F_, d, D, h)
+        operands = [seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, g]
+    else:
+        mask = _block_mask(block_b // g_att, g_att, F_,
+                           f_real if f_real is not None else F_)
+        in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
+        operands = [seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno,
+                    mask, g]
     in_specs.append(pl.BlockSpec((block_b, F_, d),
                                  lambda i, *_: (i, 0, 0)))  # g
-    operands = [seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask, g]
     if stash:
         _, st_specs = _stash_specs(B, block_b, F_, d, head_num, g_att)
         in_specs.extend(st_specs)
@@ -822,8 +832,10 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _fused_layer(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
-    y = _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
-    return y[0] if cfg[9] else y
+    # primal (no grad requested -> eval/serving): never stash - the
+    # residuals would be written and read by nobody
+    return _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed,
+                     cfg[:9] + (False,))
 
 
 def _fused_layer_fwd(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
@@ -884,7 +896,8 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     # SATRANS_PAD_F tunes the multiple (every [N, *] tensor in the kernel
     # scales with the padded F, so smaller legal multiples are cheaper).
     f_real = F_
-    pad_f = (-F_) % int(os.environ.get("SATRANS_PAD_F", "8"))
+    pad_mult = int(os.environ.get("SATRANS_PAD_F", "8"))
+    pad_f = (-F_) % pad_mult if pad_mult > 1 else 0  # <=1 disables padding
     if pad_f:
         x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
     if bwd is None:

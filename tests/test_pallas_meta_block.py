@@ -234,3 +234,36 @@ def test_fused_vjp_attn_cap_variants(cap):
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                rtol=3e-3, atol=3e-4)
+
+
+def test_eval_forward_never_stashes(monkeypatch):
+    """The custom-vjp PRIMAL (eval/serving: no grad requested) must run the
+    plain forward kernel - the stash variant writes ~450 MB/layer of
+    residuals nobody reads."""
+    x, params, tables, dom, onehot, units, H = _setup(B=32)
+    calls = {"stash": 0, "plain": 0}
+    real_stash = meta_block._fwd_kernel_stash
+    real_plain = meta_block._fwd_kernel
+
+    def spy_stash(*a, **k):
+        calls["stash"] += 1
+        return real_stash(*a, **k)
+
+    def spy_plain(*a, **k):
+        calls["plain"] += 1
+        return real_plain(*a, **k)
+
+    monkeypatch.setattr(meta_block, "_fwd_kernel_stash", spy_stash)
+    monkeypatch.setattr(meta_block, "_fwd_kernel", spy_plain)
+
+    def fwd(x):
+        return meta_block.fused_meta_layer_vjp(
+            x, params, tables, onehot, meta_units=units, head_num=H,
+            train=False, block_b=16, interpret=True, bwd="stash")
+
+    fwd(x)  # no grad -> primal path
+    assert calls["stash"] == 0 and calls["plain"] > 0
+
+    calls["stash"] = calls["plain"] = 0
+    jax.grad(lambda x: jnp.sum(fwd(x)))(x)  # grad -> stash fwd + stash bwd
+    assert calls["stash"] > 0
