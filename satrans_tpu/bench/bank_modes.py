@@ -19,12 +19,11 @@ import time
 
 import numpy as np
 
-ALICCP_DATA_MAX = {
-    "101": 444861, "121": 97, "122": 13, "124": 2, "125": 7, "126": 3,
-    "127": 3, "128": 2, "129": 4, "205": 4348615, "206": 8993,
-    "207": 695124, "210": 99606, "216": 234880, "508": 8185, "509": 472354,
-    "702": 167813, "853": 91358, "301": 3,
-}
+from ..data.aliccp import DATA_MAX as _DM, SPARSE_FEATURES as _SF
+
+# AliCCP vocab sizes (reference main.py:124-128), +2 like main.py:182 -
+# single source of truth: satrans_tpu.data.aliccp.DATA_MAX.
+ALICCP_DATA_MAX = {k: _DM[k] for k in _SF}
 BATCH = 8192
 SCAN = 10
 CHUNKS = 4

@@ -37,7 +37,10 @@ def main():
     N = F * B
 
     rng = np.random.default_rng(0)
-    ids_np = rng.integers(0, R, N).astype(np.int32)
+    # genuinely unique ids: the '... unique' scatter variants pass
+    # unique_indices=True, which is undefined behavior on duplicates
+    # (uniform draws over 1.64M rows collide ~2k times at N=82k)
+    ids_np = rng.choice(R, size=N, replace=False).astype(np.int32)
     args = {
         "ids": jax.device_put(ids_np),
         "ids_f": jax.device_put(ids_np.reshape(F, B)),

@@ -26,12 +26,11 @@ import time
 
 import numpy as np
 
-ALICCP_DATA_MAX = {
-    "101": 444861, "121": 97, "122": 13, "124": 2, "125": 7, "126": 3,
-    "127": 3, "128": 2, "129": 4, "205": 4348615, "206": 8993,
-    "207": 695124, "210": 99606, "216": 234880, "508": 8185, "509": 472354,
-    "702": 167813, "853": 91358, "301": 3,
-}
+from ..data.aliccp import DATA_MAX as _DM, SPARSE_FEATURES as _SF
+
+# AliCCP vocab sizes (reference main.py:124-128), +2 like main.py:182 -
+# single source of truth: satrans_tpu.data.aliccp.DATA_MAX.
+ALICCP_DATA_MAX = {k: _DM[k] for k in _SF}
 EVAL_BATCH = 32768     # reference main.py:353: predict batch = 4x train
 REPS = 16
 
@@ -73,10 +72,17 @@ def main():
     batch_dev = {k: jax.device_put(jnp.asarray(v))
                  for k, v in batch_np.items()}
 
-    # --- device-path ceiling: REPS chained scores inside one jit ---
+    # --- device-path ceiling: REPS chained scores inside one jit.
+    # The batch MUST be i-dependent: a loop-invariant apply() is hoisted
+    # out of the fori_loop by XLA and one score would be counted REPS
+    # times (the round-1 artifact had this flaw).  Rolling the sparse ids
+    # by i (mod each vocab) keeps shapes/ranges identical per iteration.
     def chained(params, state, batch):
+        vocab = jnp.asarray([c.vocab for c in layout.sparse], jnp.int32)
+
         def body(i, acc):
-            p, _, _ = model.apply(params, state, batch, train=False)
+            b = dict(batch, sparse=(batch["sparse"] + i) % vocab[None, :])
+            p, _, _ = model.apply(params, state, b, train=False)
             return acc + jnp.sum(p)
         return jax.lax.fori_loop(0, REPS, body, 0.0)
 

@@ -37,13 +37,11 @@ SCAN = 2 if TINY else 10
 CHUNKS = 1 if TINY else 4
 BATCH = 256 if TINY else 8192
 
-# AliCCP vocab sizes (reference main.py:124-128), +2 like main.py:182.
-ALICCP_DATA_MAX = {
-    "101": 238635, "121": 98, "122": 14, "124": 3, "125": 8, "126": 4,
-    "127": 4, "128": 3, "129": 5, "205": 467298, "206": 6929, "207": 263942,
-    "216": 106399, "508": 5888, "509": 104830, "702": 51878, "853": 37148,
-    "301": 3, "109_14": 12523,
-}
+from ..data.aliccp import DATA_MAX as _DM, SPARSE_FEATURES as _SF
+
+# AliCCP vocab sizes (reference main.py:124-128), +2 like main.py:182 -
+# single source of truth: satrans_tpu.data.aliccp.DATA_MAX.
+ALICCP_DATA_MAX = {k: _DM[k] for k in _SF}
 
 
 def log(*a):

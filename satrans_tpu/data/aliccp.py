@@ -188,11 +188,10 @@ def map_history_ids(train_acc: dict, test_acc: dict, h5_path: str,
 
 def get_topk_edges(data: np.ndarray, ks=(5, 10, 20)) -> dict[int, np.ndarray]:
     """Per-user top-k edges by score from a [3, N] (uid, fid, score) dump
-    (aliccp_dataset_processing.py:96-111)."""
-    edges = pd.DataFrame(data.T, columns=["uid", "fid", "score"])
-    edges = edges.drop_duplicates()
-    edges = edges.sort_values(by=["uid", "score"], ascending=(True, False))
-    return {k: edges.groupby("uid").head(k).values for k in ks}
+    (aliccp_dataset_processing.py:96-111).  Delegates to :func:`topk_edges`
+    so the tie-breaking semantics live in one place."""
+    return {k: topk_edges(data[0], data[1], data[2], k)
+            [["uid", "fid", "score"]].values for k in ks}
 
 
 def merge_train_test_history_edges(train_edges: np.ndarray,

@@ -141,9 +141,13 @@ def mlp_apply(p, x, *, act: str = "relu", dropout_rate: float = 0.0,
     """Forward pass; returns ``y`` (or ``(y, new_bn_state)`` if BN is used).
 
     ``batch_weight``: optional ``[B]`` 0/1 mask excluding zero-padded tail
-    rows from train-mode BN batch statistics (the Trainer exposes its pad
-    mask as ``batch["_weight"]``) - the reference trains on a genuinely
-    smaller tail batch, so padded rows must not pollute running stats.
+    rows from train-mode BN batch statistics - the reference trains on a
+    genuinely smaller tail batch, so padded rows must not pollute running
+    stats.  NOTE: no shipped model enables ``use_bn`` (mirroring the
+    reference, whose ``dnn_use_bn`` flag is never set by any published
+    config); a model that does must thread its pad mask (the Trainer puts
+    it in ``batch['_weight']``) into this parameter itself - see
+    models/star.py's domain-BN for the pattern.
     """
     fn = activation(act)
     layers = p["layers"]

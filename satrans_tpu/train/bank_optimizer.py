@@ -10,12 +10,15 @@ Round-1 paid for that faithfully - a 155k-row combine-then-scatter into an
 * The model's loss is differentiated with respect to the GATHERED rows
   (``embeddings.BankRowFeed``), so the bank cotangent stays a compact
   ``[N, row_width]`` tensor - the dense scatter never happens.
-* ``fused`` mode (default): the L2 part of the gradient is analytic
-  (``2*l2*W``), so one fused elementwise Adam pass over bank/mu/nu handles
-  every untouched row EXACTLY as dense Adam would, and the touched rows are
+* ``fused`` mode: the L2 part of the gradient is analytic (``2*l2*W``),
+  so one fused elementwise Adam pass over bank/mu/nu handles every
+  untouched row EXACTLY as dense Adam would, and the touched rows are
   corrected by a tiny gather -> Adam -> sorted/unique scatter-overwrite.
-  Same numbers as the dense path (same formulas, same combine order),
-  ~bandwidth-floor cost: 6 reads/writes of the bank instead of 10+.
+  Same numbers as the dense path (same formulas, same combine order).
+  Measured on v5e it does NOT beat 'dense' (the overwrite scatters cost
+  what the avoided dense-gradient scatter did - scatter_primitives
+  artifact), so ``'auto'`` resolves to ``'dense'``; 'fused' remains the
+  mode that composes with the explicit all-to-all embedding exchange.
 * ``lazy`` mode (opt-in, DOCUMENTED DEVIATION - see PARITY.md): no dense
   pass at all.  Adam moments for untouched rows decay analytically on next
   touch (``mu *= b1**k``, ``nu *= b2**k`` - exactly the value dense Adam

@@ -48,11 +48,21 @@ def restore(path: str, trainer) -> None:
     template = {"params": trainer.params, "opt_state": trainer.opt_state,
                 "state": trainer.state,
                 "meta": {"domain_id_offset": np.int32(0)}}
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, "shape") else x, template)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, abstract)
+
+    def _restore(tmpl):
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, tmpl)
+        return ckptr.restore(path, abstract)
+
+    try:
+        restored = _restore(template)
+    except (ValueError, KeyError):
+        # checkpoints written before the 'meta' group existed: restore the
+        # original structure, keep the model's config-default offset
+        del template["meta"]
+        restored = _restore(template)
     trainer.params = restored["params"]
     trainer.opt_state = restored["opt_state"]
     trainer.state = restored["state"]

@@ -144,11 +144,13 @@ class Trainer:
         ``bank_update`` selects the embedding-bank update path
         (train/bank_optimizer.py):
 
-        * ``'auto'`` (default): ``'fused'`` where eligible (Adam + a
-          ``standard_bank_access`` model), else ``'dense'``.
+        * ``'auto'`` (default): resolves to ``'dense'`` - the fastest
+          EXACT-parity mode measured on v5e (bench/bank_modes.py; 'fused'
+          pays the same dense Adam pass plus the touched-row overwrite
+          scatters).
         * ``'fused'``: sparse bank gradient + analytic-L2 dense Adam pass +
-          touched-row correction - numerically identical to 'dense', ~2x
-          less HBM traffic per step.
+          touched-row correction - numerically identical to 'dense'; the
+          mode to use with ``embedding_exchange='alltoall'``.
         * ``'lazy'``: touched-rows-only sparse Adam with decayed moments and
           decoupled lazy L2 - a DOCUMENTED DEVIATION from reference
           semantics (PARITY.md), fastest.

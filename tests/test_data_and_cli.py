@@ -407,3 +407,37 @@ def test_aliccp_raw_pipeline_end_to_end(tmp_path):
     lte = aliccp.load_split(h5, "ctr_test", ["101", "10914"], k=5)
     uid2_te = lte["10914"][lte["101"] == 2]
     assert uid2_te[0].tolist() == [6, 0, 0, 0, 0]
+
+
+def test_checkpoint_restore_pre_meta_format(tmp_path):
+    """Checkpoints written before the 'meta' group existed (round 1) must
+    still restore (the offset falls back to the model's config default)."""
+    import orbax.checkpoint as ocp
+
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import DeepFM
+    from satrans_tpu.train import Trainer, checkpoint
+
+    cols = synthetic_columns(num_sparse=4, vocab=30, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=300, num_sparse=4, vocab=30)
+    tr = Trainer(DeepFM(layout=layout), seed=0)
+    tr.compile(learning_rate=0.01)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+    pred1 = tr.predict(x, batch_size=128)
+
+    # write the ROUND-1 payload shape: no 'meta' group
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(tmp_path / "old"), {"params": tr.params,
+                                       "opt_state": tr.opt_state,
+                                       "state": tr.state}, force=True)
+    ckptr.wait_until_finished()
+
+    tr2 = Trainer(DeepFM(layout=layout), seed=99)
+    tr2.compile(learning_rate=0.01)
+    tr2._strategy = tr2._resolve_strategy(x)
+    checkpoint.restore(str(tmp_path / "old"), tr2)
+    tr2._build_steps()
+    np.testing.assert_allclose(pred1, tr2.predict(x, batch_size=128),
+                               atol=1e-6)
