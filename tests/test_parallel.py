@@ -103,6 +103,21 @@ def test_scan_steps_equivalent_to_loop():
     np.testing.assert_allclose(run(1), run(4), atol=2e-6)
 
 
+def test_scan_unroll_equivalent():
+    """Trainer(scan_unroll=k) is a pure schedule change: same parameters."""
+    cols = synthetic_columns(num_sparse=4, vocab=32, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=4, vocab=32)
+
+    def run(unroll):
+        tr = Trainer(DeepFM(layout=layout), seed=0, scan_unroll=unroll)
+        tr.compile(learning_rate=0.01)
+        tr.fit(x, y, batch_size=128, epochs=1, verbose=0, scan_steps=4)
+        return tr.predict(x, batch_size=128)
+
+    np.testing.assert_allclose(run(1), run(4), atol=2e-6)
+
+
 def test_fit_from_iterator_with_prefetch():
     """Streaming fit: host-sharded iterator + background prefetch."""
     from satrans_tpu.data import loader
