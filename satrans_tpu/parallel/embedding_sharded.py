@@ -72,6 +72,9 @@ def alltoall_lookup(bank, ids, mesh: Mesh, axis: str = "data",
     n = mesh.shape[axis]
     rows_per = bank.shape[0] // n
     d = bank.shape[1]
+    if ids.size == 0:  # every field lives in the side bank - nothing to do
+        return (jnp.zeros((*ids.shape, d), bank.dtype),
+                jnp.zeros((n,), jnp.int32))
 
     def kernel(bank_local, ids_local):
         flat = ids_local.reshape(-1)
