@@ -131,6 +131,8 @@ def main():
           fused_fwdbwd(True, 128, bwd="stash"))
     timed("fused fwd+bwd train b128 RECOMPUTE",
           fused_fwdbwd(True, 128, bwd="recompute"))
+    timed("fused fwd+bwd train b256 STASH",
+          fused_fwdbwd(True, 256, bwd="stash"))
     timed("fused 3-layer fwd+bwd train b128 STASH",
           fused_fwdbwd(True, 128, 3, bwd="stash"))
     timed("fused 3-layer fwd+bwd train b128 RECOMPUTE",
