@@ -88,7 +88,8 @@ def main():
             return x
         return step
 
-    def fused_fwdbwd(train, block_b, layers=1, seed0=7, bwd=None):
+    def fused_fwdbwd(train, block_b, layers=1, seed0=7, bwd=None,
+                     attn_cap=None):
         from ..ops.pallas import meta_block
 
         def loss(x):
@@ -96,7 +97,7 @@ def main():
                 x = meta_block.fused_meta_layer_vjp(
                     x, params, tables, onehot, meta_units=units,
                     head_num=HEADS, train=train, seed=seed0 + l,
-                    block_b=block_b, bwd=bwd)
+                    block_b=block_b, bwd=bwd, attn_cap=attn_cap)
             return jnp.sum(x * x)
 
         def step(i, x):
@@ -133,6 +134,8 @@ def main():
           fused_fwdbwd(True, 128, bwd="recompute"))
     timed("fused fwd+bwd train b256 STASH",
           fused_fwdbwd(True, 256, bwd="stash"))
+    timed("fused fwd+bwd train b128 STASH cap48 (g=2)",
+          fused_fwdbwd(True, 128, bwd="stash", attn_cap=48))
     timed("fused 3-layer fwd+bwd train b128 STASH",
           fused_fwdbwd(True, 128, 3, bwd="stash"))
     timed("fused 3-layer fwd+bwd train b128 RECOMPUTE",
