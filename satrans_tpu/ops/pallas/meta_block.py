@@ -57,18 +57,27 @@ def _layer_norm_bwd(g, xhat, inv, scale):
     return (gg - mean_gg - xhat * mean_ggx) * inv
 
 
+def _clip_logits(s):
+    """Two-sided static clamp applied to raw logits BEFORE the additive
+    block mask: with entries in [-60, 60], plain ``exp`` can neither
+    overflow nor underflow a whole row to zero (denominator >= e^-60 > 0),
+    while masked entries (-1e30 after the mask add) still come out exactly
+    0.  Gradients through saturated entries are treated as if unclipped -
+    the same approximation every flash-attention-style static-clip makes;
+    |logits| stays a few units in practice (LayerNormed q, k)."""
+    return jnp.clip(s, -60.0, 60.0)
+
+
 def _softmax_lastdim(s):
     """Softmax without the max-subtraction pass.
 
     ``jax.nn.softmax``'s running max is a LANE-dim reduction + broadcast
     that measured ~0.6 ms/layer on v5e (bench/layer_ablation.py round-2
-    notes); here the logits are Q@K^T/sqrt(dh) of LayerNormed tensors
-    (|s| is a few units in practice) so a static clip makes plain exp
-    overflow-proof: entries above 60 saturate together (preserving the
-    argmax ordering), the -1e30 block-mask entries underflow to exactly 0,
-    and every row keeps >=1 unmasked entry so the denominator is positive.
+    notes); callers pre-clamp raw logits with :func:`_clip_logits`, which
+    makes plain exp overflow- AND underflow-proof (a one-sided min-clip
+    left a 0/0 NaN open when every unmasked logit fell below ~-87).
     """
-    e = jnp.exp(jnp.minimum(s, 60.0))
+    e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
@@ -192,7 +201,7 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
         qh, kh, vh = qg[..., sl], kg[..., sl], vg[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)  # [G, n, n]
-        s = s + mask
+        s = _clip_logits(s) + mask
         s = _softmax_lastdim(s)
         s_keep.append(s)  # PRE-dropout probabilities (the stash residual)
         if train and drop_rate > 0.0:
@@ -416,7 +425,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)
-        s = s + blk_mask
+        s = _clip_logits(s) + blk_mask
         s = _softmax_lastdim(s)
         s_list.append(s)
         sm = s * m_s[hd] if use_drop else s

@@ -267,3 +267,40 @@ def test_eval_forward_never_stashes(monkeypatch):
     calls["stash"] = calls["plain"] = 0
     jax.grad(lambda x: jnp.sum(fwd(x)))(x)  # grad -> stash fwd + stash bwd
     assert calls["stash"] > 0
+
+
+def test_softmax_all_underflow_row_no_nan():
+    """Regression: a row whose unmasked logits ALL sit below f32 exp
+    underflow (~-87) must not produce 0/0 NaN - the round-1 one-sided
+    min-clip did exactly that (exp of every entry == 0)."""
+    raw = jnp.full((1, 2, 4), -1000.0)  # every in-block logit deeply neg
+    mask = jnp.asarray([[[0.0, 0.0, -1e30, -1e30],
+                         [0.0, 0.0, -1e30, -1e30]]])
+    s = meta_block._softmax_lastdim(meta_block._clip_logits(raw) + mask)
+    got = np.asarray(s)
+    assert np.isfinite(got).all()
+    # the two unmasked entries share the row mass; masked are exactly 0
+    np.testing.assert_allclose(got[0, :, :2], 0.5, atol=1e-6)
+    np.testing.assert_allclose(got[0, :, 2:], 0.0, atol=0)
+
+
+def test_softmax_extreme_logits_no_nan():
+    """Kernel-level smoke: huge-|logit| inputs keep fwd and grads finite."""
+    x, params, tables, dom, onehot, units, H = _setup(B=32)
+    x_big = x * 300.0  # LN keeps q,k O(1) but wq/wk scaling below does not
+
+    params_big = dict(params)
+    # blow up the out-of-LN path: scale the QKV projection so raw QK^T
+    # logits reach +-thousands (both signs)
+    params_big["wq"] = params["wq"] * 50.0
+    params_big["wk"] = params["wk"] * 50.0
+
+    def fwd(x):
+        return meta_block.fused_meta_layer_vjp(
+            x, params_big, tables, onehot, meta_units=units, head_num=H,
+            train=False, block_b=16, interpret=True)
+
+    y = fwd(x_big)
+    assert np.isfinite(np.asarray(y)).all()
+    g = jax.grad(lambda x: jnp.sum(fwd(x)))(x_big)
+    assert np.isfinite(np.asarray(g)).all()
