@@ -169,6 +169,84 @@ def main():
             optimizer, p, o, flat_ids, g_rows, g_rest, lr=lr, l2=l2)
         return p2, o2, s2, dl
 
+    # --- interior slices of lazy_update (localize its cost) ---------------
+    from satrans_tpu import embeddings
+
+    def _rest_applied(p, o, g_rest):
+        rest_state, bstate = o
+        rest = bank_optimizer._split_bank(p)[0]
+        updates, rest_state = optimizer.update(g_rest, rest_state, rest)
+        rest_new = optax.apply_updates(rest, updates)
+        return rest_new, rest_state, bstate
+
+    def _combine(flat_ids, g_rows):
+        n = flat_ids.shape[0]
+        fl = eq_plan.fields
+        bsz = n // fl
+        wdt = g_rows.shape[1]
+        cs = embeddings.eqgemm_combine(
+            flat_ids.reshape(bsz, fl).T,
+            g_rows.reshape(bsz, fl, wdt).transpose(1, 0, 2),
+            eq_plan.shared)
+        g_pos = cs.transpose(1, 0, 2).reshape(n, wdt)
+        tgt, order = jax.lax.sort((flat_ids, jax.lax.iota(jnp.int32, n)))
+        gu = jnp.take(g_pos, order, axis=0)
+        return tgt, gu
+
+    def lazy_combine(p, o, s, b, yy, ww, r):
+        # rest_update + the eq-GEMM combine + sort (no row Adam, no scatters)
+        flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
+            p, s, b, yy, ww, r)
+        rest_new, rest_state, bstate = _rest_applied(p, o, g_rest)
+        tgt, gu = _combine(flat_ids, g_rows)
+        p2 = bank_optimizer._with_bank(rest_new, p["emb"]["bank"])
+        return p2, (rest_state, bstate), s2, dl + jnp.sum(gu) + jnp.sum(tgt)
+
+    def lazy_adam_noscat(p, o, s, b, yy, ww, r):
+        # + row gathers, decay powers, adam_rows — but NO scatters
+        flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
+            p, s, b, yy, ww, r)
+        rest_new, rest_state, bstate = _rest_applied(p, o, g_rest)
+        tgt, gu = _combine(flat_ids, g_rows)
+        bank = p["emb"]["bank"]
+        count_inc = bstate["count"] + 1
+        k = (count_inc - 1 - jnp.take(bstate["last"], tgt)).astype(jnp.float32)
+        m_u = jnp.take(bstate["mu"], tgt, axis=0) \
+            * (bank_optimizer.ADAM_B1 ** k)[:, None]
+        v_u = jnp.take(bstate["nu"], tgt, axis=0) \
+            * (bank_optimizer.ADAM_B2 ** k)[:, None]
+        w_u = jnp.take(bank, tgt, axis=0) \
+            * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
+        w_u2, m_u2, v_u2 = bank_optimizer.adam_rows(
+            w_u, m_u, v_u, gu, count_inc, lr)
+        p2 = bank_optimizer._with_bank(rest_new, bank)
+        live = dl + jnp.sum(w_u2) + jnp.sum(m_u2) + jnp.sum(v_u2)
+        return p2, (rest_state, bstate), s2, live
+
+    def lazy_scat_bank(p, o, s, b, yy, ww, r):
+        # + the bank scatter ONLY (mu/nu/last kept stale; count advanced)
+        flat_ids, g_rows, g_rest, s2, dl, reg, aux = sparse_grads(
+            p, s, b, yy, ww, r)
+        rest_new, rest_state, bstate = _rest_applied(p, o, g_rest)
+        tgt, gu = _combine(flat_ids, g_rows)
+        bank = p["emb"]["bank"]
+        count_inc = bstate["count"] + 1
+        k = (count_inc - 1 - jnp.take(bstate["last"], tgt)).astype(jnp.float32)
+        m_u = jnp.take(bstate["mu"], tgt, axis=0) \
+            * (bank_optimizer.ADAM_B1 ** k)[:, None]
+        v_u = jnp.take(bstate["nu"], tgt, axis=0) \
+            * (bank_optimizer.ADAM_B2 ** k)[:, None]
+        w_u = jnp.take(bank, tgt, axis=0) \
+            * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
+        w_u2, m_u2, v_u2 = bank_optimizer.adam_rows(
+            w_u, m_u, v_u, gu, count_inc, lr)
+        bank2 = bank.at[tgt].set(w_u2, mode="drop", indices_are_sorted=True,
+                                 unique_indices=False)
+        p2 = bank_optimizer._with_bank(rest_new, bank2)
+        new_b = dict(bstate, count=count_inc)
+        live = dl + jnp.sum(m_u2) + jnp.sum(v_u2)
+        return p2, (rest_state, new_b), s2, live
+
     variants = [
         ("fwd_only", fwd_only),
         ("fwd_loss", fwd_loss),
@@ -177,7 +255,14 @@ def main():
         ("rest_update", rest_update),
         ("full_lazy", full_lazy),
         ("full_lazy_sort", full_lazy_sort),
+        ("lazy_combine", lazy_combine),
+        ("lazy_adam_noscat", lazy_adam_noscat),
+        ("lazy_scat_bank", lazy_scat_bank),
     ]
+    only = os.environ.get("SATRANS_ABLATION_ONLY", "")
+    if only:
+        want = set(only.split(","))
+        variants = [v for v in variants if v[0] in want]
 
     results = {}
     for name, step in variants:

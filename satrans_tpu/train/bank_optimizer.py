@@ -35,6 +35,7 @@ Everything else falls back to the round-1 dense path.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -46,6 +47,22 @@ from .. import embeddings
 ADAM_B1 = 0.9
 ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
+
+
+def _scatter_impl() -> str:
+    """Which scatter commits the touched rows (trace-time decision).
+
+    ``pallas`` (TPU default): ops/pallas/scatter.py row-DMA kernel -
+    measured ~3.5x faster than XLA's serialized row scatter and truly
+    in-place (bench/pallas_scatter_probe.py).  ``xla``: ``.at[].set``
+    (CPU default, and the only path with sentinel/drop semantics).
+    ``interpret``: the Pallas kernel in interpret mode (CPU tests).
+    Env ``SATRANS_SCATTER`` overrides.
+    """
+    mode = os.environ.get("SATRANS_SCATTER", "auto")
+    if mode in ("xla", "pallas", "interpret"):
+        return mode
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 class EqPlan(NamedTuple):
@@ -291,14 +308,31 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
         * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
     w_u2, m_u2, v_u2 = adam_rows(w_u, m_u, v_u, gu, count_inc, lr)
 
-    def over(arr, vals):
-        return arr.at[tgt].set(vals, mode="drop", indices_are_sorted=True,
-                               unique_indices=unique)
+    impl = _scatter_impl()
+    if not unique and impl in ("pallas", "interpret"):
+        # EqPlan path: every position is a REAL row (no drop sentinel) and
+        # duplicate positions carry bit-identical values - exactly the
+        # precondition of the row-DMA kernel (ops/pallas/scatter.py).
+        from ..ops.pallas import scatter as pallas_scatter
+        # clamp mirrors the forward gather's clip-to-last-row for (invalid)
+        # OOB ids - the DMA has no drop path and must stay in bounds
+        new_bank, new_mu, new_nu = pallas_scatter.scatter_rows_set(
+            (bank, b["mu"], b["nu"]),
+            jnp.minimum(tgt, bank.shape[0] - 1), (w_u2, m_u2, v_u2),
+            interpret=impl == "interpret")
+    else:
+        def over(arr, vals):
+            return arr.at[tgt].set(vals, mode="drop",
+                                   indices_are_sorted=True,
+                                   unique_indices=unique)
+        new_bank = over(bank, w_u2)
+        new_mu = over(b["mu"], m_u2)
+        new_nu = over(b["nu"], v_u2)
 
-    new_params = _with_bank(rest_new, over(bank, w_u2))
+    new_params = _with_bank(rest_new, new_bank)
     new_b = {
-        "mu": over(b["mu"], m_u2),
-        "nu": over(b["nu"], v_u2),
+        "mu": new_mu,
+        "nu": new_nu,
         "last": b["last"].at[tgt].set(count_inc, mode="drop",
                                       indices_are_sorted=True,
                                       unique_indices=unique),

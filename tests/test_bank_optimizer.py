@@ -285,3 +285,72 @@ def test_lazy_eq_plan_matches_sort_path():
         np.testing.assert_allclose(np.asarray(s_sort[1][key]),
                                    np.asarray(s_eq[1][key]),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_scatter_rows_set_interpret():
+    """Row-DMA scatter kernel (interpret) == XLA .at[].set, including
+    duplicate ids with identical values and the internal pad-to-block."""
+    from satrans_tpu.ops.pallas import scatter as pallas_scatter
+
+    rng = np.random.default_rng(3)
+    rows, w, n = 500, 128, 70  # n deliberately NOT a multiple of rb
+    ids = np.sort(rng.choice(rows, size=n, replace=False)).astype(np.int32)
+    ids[5] = ids[4]  # duplicate pair...
+    vals = rng.normal(size=(n, w)).astype(np.float32)
+    vals[5] = vals[4]  # ...carrying identical values
+    vals2 = rng.normal(size=(n, w)).astype(np.float32)
+    vals2[5] = vals2[4]
+    a = jnp.asarray(rng.normal(size=(rows, w)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(rows, w)).astype(np.float32))
+
+    got_a, got_b = pallas_scatter.scatter_rows_set(
+        (a, b), jnp.asarray(ids), (jnp.asarray(vals), jnp.asarray(vals2)),
+        rb=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_a),
+                                  np.asarray(a.at[ids].set(vals)))
+    np.testing.assert_array_equal(np.asarray(got_b),
+                                  np.asarray(b.at[ids].set(vals2)))
+
+
+def test_lazy_eq_plan_pallas_scatter_matches_xla(monkeypatch):
+    """lazy_update committing rows through the Pallas kernel (interpret) is
+    bit-identical to the XLA scatter path."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=256, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    plan = bank_optimizer.make_eq_plan(model)
+    assert plan is not None
+
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = bank_optimizer.lazy_init(opt, params)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = embeddings.bank_gather_plan(params["emb"], layout, batch)
+    rng = np.random.default_rng(0)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    def run():
+        return bank_optimizer.lazy_update(
+            opt, params, opt_state, flat_ids, g_rows, g_rest,
+            lr=0.01, l2=1e-4, eq_plan=plan)
+
+    monkeypatch.setenv("SATRANS_SCATTER", "xla")
+    p_x, s_x = run()
+    monkeypatch.setenv("SATRANS_SCATTER", "interpret")
+    p_p, s_p = run()
+    np.testing.assert_array_equal(np.asarray(p_x["emb"]["bank"]),
+                                  np.asarray(p_p["emb"]["bank"]))
+    for key in ("mu", "nu", "last"):
+        np.testing.assert_array_equal(np.asarray(s_x[1][key]),
+                                      np.asarray(s_p[1][key]))
