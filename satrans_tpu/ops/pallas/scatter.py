@@ -43,11 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 _SLOTS = 16
 
 
-def _kernel(ids_ref, *refs, n_arrays: int, rb: int):
+def _kernel(ids_ref, *refs, n_arrays: int, rb: int, n_rows: int,
+            drop_oob: bool):
     """refs = (vals_0..vals_{A-1}, in_0..in_{A-1}, out_0..out_{A-1}, sems).
 
     One grid step commits rows [base, base+rb) of every array: fully
     unrolled DMA issue (one per row per array) then unrolled drains.
+    With ``drop_oob`` every row's start AND wait are predicated on the same
+    ``id < n_rows`` test (sentinel ids are skipped, XLA ``mode='drop'``
+    semantics) - the predicates match, so every issued DMA is drained.
     """
     vals = refs[:n_arrays]
     outs = refs[2 * n_arrays:3 * n_arrays]
@@ -55,32 +59,52 @@ def _kernel(ids_ref, *refs, n_arrays: int, rb: int):
     base = pl.program_id(0) * rb
     for a in range(n_arrays):
         for r in range(rb):
-            pltpu.make_async_copy(
-                vals[a].at[pl.ds(r, 1)],
-                outs[a].at[pl.ds(ids_ref[base + r], 1)],
-                sems.at[a, r % _SLOTS],
-            ).start()
+            rid = ids_ref[base + r]
+
+            def _start(a=a, r=r, rid=rid):
+                pltpu.make_async_copy(
+                    vals[a].at[pl.ds(r, 1)],
+                    outs[a].at[pl.ds(rid, 1)],
+                    sems.at[a, r % _SLOTS],
+                ).start()
+
+            if drop_oob:
+                pl.when(rid < n_rows)(_start)
+            else:
+                _start()
     for a in range(n_arrays):
         for r in range(rb):
-            pltpu.make_async_copy(
-                vals[a].at[pl.ds(0, 1)],
-                outs[a].at[pl.ds(0, 1)],
-                sems.at[a, r % _SLOTS],
-            ).wait()
+
+            def _wait(a=a, r=r):
+                pltpu.make_async_copy(
+                    vals[a].at[pl.ds(0, 1)],
+                    outs[a].at[pl.ds(0, 1)],
+                    sems.at[a, r % _SLOTS],
+                ).wait()
+
+            if drop_oob:
+                pl.when(ids_ref[base + r] < n_rows)(_wait)
+            else:
+                _wait()
 
 
 def scatter_rows_set(arrays, ids, values, *, rb: int = 256,
-                     interpret: bool = False):
+                     interpret: bool = False, drop_oob: bool = False):
     """In-place multi-array row overwrite: ``arrays[a][ids[i]] = values[a][i]``.
 
     arrays: sequence of [R, W_a] (aliased in/out - donated by XLA where
-    legal); ids: [N] int32, all in [0, R); values: matching [N, W_a].
-    Returns the updated arrays (tuple).  N is padded internally to a
-    multiple of ``rb`` by repeating the last row of ids/values.
+    legal); ids: [N] int32, all in [0, R) - or, with ``drop_oob``, any id
+    >= R is skipped (XLA ``mode='drop'`` semantics, predicated DMA).
+    values: matching [N, W_a].  Returns the updated arrays (tuple).  N is
+    padded internally to a multiple of ``rb`` by repeating the last row of
+    ids/values (a duplicate write of an identical value, or a dropped
+    sentinel).
     """
     arrays = tuple(arrays)
     values = tuple(values)
     assert len(arrays) == len(values) and arrays, (arrays, values)
+    assert len({a.shape[0] for a in arrays}) == 1, \
+        "all arrays must share the row count (one id set, one OOB bound)"
     n = ids.shape[0]
     a_count = len(arrays)
     pad = (-n) % rb
@@ -100,7 +124,8 @@ def scatter_rows_set(arrays, ids, values, *, rb: int = 256,
     # array operand (index 1 + a_count + a, counting the scalar) to output a
     aliases = {1 + a_count + a: a for a in range(a_count)}
     out = pl.pallas_call(
-        functools.partial(_kernel, n_arrays=a_count, rb=rb),
+        functools.partial(_kernel, n_arrays=a_count, rb=rb,
+                          n_rows=arrays[0].shape[0], drop_oob=drop_oob),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -49,6 +49,13 @@ ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
 
 
+def pallas_scatter():
+    """Deferred import of the row-DMA scatter kernel module (keeps CPU-only
+    import paths free of pallas.tpu)."""
+    from ..ops.pallas import scatter
+    return scatter
+
+
 def _scatter_impl() -> str:
     """Which scatter commits the touched rows (trace-time decision).
 
@@ -221,22 +228,35 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     g_full = gu + (2.0 * l2) * w_u
     w_u2, m_u2, v_u2 = adam_rows(w_u, m_u, v_u, g_full, count_inc, lr)
 
-    # dense pass: for untouched rows grad is exactly 2*l2*W (analytic)
+    # dense pass: for untouched rows grad is exactly 2*l2*W (analytic).
+    # NOTE a Pallas fused Adam pass buys nothing here: XLA already fuses
+    # the elementwise chain to ~80% of HBM bandwidth (7.7 ms on-chip for
+    # bank+mu+nu, measured against an aliased Pallas twin - PERFORMANCE.md
+    # round-2 dead ends); the full-table-L2 semantics are a ~5 GB/step
+    # bandwidth floor no kernel removes.
     grads = _with_bank(g_rest, (2.0 * l2) * bank)
     updates, new_opt = optimizer.update(grads, opt_state, params)
     new_params = optax.apply_updates(params, updates)
 
     # overwrite touched rows with their exact values
     tgt = jnp.where(valid, u, bank.shape[0])
-    new_params["emb"]["bank"] = _overwrite(new_params["emb"]["bank"], tgt,
-                                           w_u2)
     idx, adam_new = _find_adam_state(new_opt)
+    impl = _scatter_impl()
+    if impl in ("pallas", "interpret"):
+        # sentinel ids (== row count) are dropped by the predicated DMA
+        nb, nm, nn_ = pallas_scatter().scatter_rows_set(
+            (new_params["emb"]["bank"], adam_new.mu["emb"]["bank"],
+             adam_new.nu["emb"]["bank"]), tgt, (w_u2, m_u2, v_u2),
+            drop_oob=True, interpret=impl == "interpret")
+    else:
+        nb = _overwrite(new_params["emb"]["bank"], tgt, w_u2)
+        nm = _overwrite(adam_new.mu["emb"]["bank"], tgt, m_u2)
+        nn_ = _overwrite(adam_new.nu["emb"]["bank"], tgt, v_u2)
+    new_params["emb"]["bank"] = nb
     mu = dict(adam_new.mu)
     nu = dict(adam_new.nu)
-    mu["emb"] = dict(mu["emb"], bank=_overwrite(adam_new.mu["emb"]["bank"],
-                                                tgt, m_u2))
-    nu["emb"] = dict(nu["emb"], bank=_overwrite(adam_new.nu["emb"]["bank"],
-                                                tgt, v_u2))
+    mu["emb"] = dict(mu["emb"], bank=nm)
+    nu["emb"] = dict(nu["emb"], bank=nn_)
     new_opt = (new_opt[:idx]
                + (adam_new._replace(mu=mu, nu=nu),)
                + new_opt[idx + 1:])
@@ -313,10 +333,9 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
         # EqPlan path: every position is a REAL row (no drop sentinel) and
         # duplicate positions carry bit-identical values - exactly the
         # precondition of the row-DMA kernel (ops/pallas/scatter.py).
-        from ..ops.pallas import scatter as pallas_scatter
         # clamp mirrors the forward gather's clip-to-last-row for (invalid)
-        # OOB ids - the DMA has no drop path and must stay in bounds
-        new_bank, new_mu, new_nu = pallas_scatter.scatter_rows_set(
+        # OOB ids - the unpredicated DMA must stay in bounds
+        new_bank, new_mu, new_nu = pallas_scatter().scatter_rows_set(
             (bank, b["mu"], b["nu"]),
             jnp.minimum(tgt, bank.shape[0] - 1), (w_u2, m_u2, v_u2),
             interpret=impl == "interpret")

@@ -354,3 +354,66 @@ def test_lazy_eq_plan_pallas_scatter_matches_xla(monkeypatch):
     for key in ("mu", "nu", "last"):
         np.testing.assert_array_equal(np.asarray(s_x[1][key]),
                                       np.asarray(s_p[1][key]))
+
+
+def test_pallas_scatter_drop_oob_interpret():
+    """drop_oob skips sentinel ids (>= row count) exactly like XLA's
+    mode='drop' scatter."""
+    from satrans_tpu.ops.pallas import scatter as pallas_scatter
+
+    rng = np.random.default_rng(9)
+    rows, w, n = 300, 128, 50
+    ids = np.sort(rng.choice(rows, size=n, replace=False)).astype(np.int32)
+    ids[-7:] = rows  # sentinel tail, as fused_update produces
+    vals = rng.normal(size=(n, w)).astype(np.float32)
+    a = jnp.asarray(rng.normal(size=(rows, w)).astype(np.float32))
+
+    (got,) = pallas_scatter.scatter_rows_set(
+        (a,), jnp.asarray(ids), (jnp.asarray(vals),),
+        rb=16, interpret=True, drop_oob=True)
+    want = a.at[ids].set(vals, mode="drop")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_pallas_scatter_matches_xla(monkeypatch):
+    """fused_update committing its touched-row corrections through the
+    drop_oob Pallas kernel (interpret) is bit-identical to the XLA path."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=256, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = opt.init(params)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = embeddings.bank_gather_plan(params["emb"], layout, batch)
+    rng = np.random.default_rng(1)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    def run():
+        return bank_optimizer.fused_update(
+            opt, params, opt_state, flat_ids, g_rows, g_rest,
+            lr=0.01, l2=1e-4)
+
+    monkeypatch.setenv("SATRANS_SCATTER", "xla")
+    p_x, s_x = run()
+    monkeypatch.setenv("SATRANS_SCATTER", "interpret")
+    p_p, s_p = run()
+    np.testing.assert_array_equal(np.asarray(p_x["emb"]["bank"]),
+                                  np.asarray(p_p["emb"]["bank"]))
+    ix, ax_ = bank_optimizer._find_adam_state(s_x)
+    ip, ap_ = bank_optimizer._find_adam_state(s_p)
+    np.testing.assert_array_equal(np.asarray(ax_.mu["emb"]["bank"]),
+                                  np.asarray(ap_.mu["emb"]["bank"]))
+    np.testing.assert_array_equal(np.asarray(ax_.nu["emb"]["bank"]),
+                                  np.asarray(ap_.nu["emb"]["bank"]))
