@@ -131,8 +131,16 @@ def eqgemm_combine(ids_fb, g_fb, shared_rows=()):
     (bench/scatter_primitives.py).  Within a field the equality matrix
     catches every duplicate; across fields, rows can only be shared where a
     128-lane physical row straddles a field boundary (``pack_factor``
-    logical rows per physical row) - those few static ``shared_rows`` get an
-    explicit masked-sum correction.
+    logical rows per physical row) - those few static ``shared_rows`` are
+    OVERWRITTEN with one common total per row.
+
+    Bit-identity guarantee (the row-DMA scatter's precondition,
+    ops/pallas/scatter.py): every position carrying the same physical row id
+    receives the byte-identical total.  Within a field the equality GEMM
+    reduces every duplicate position in the same order; for a shared row the
+    per-field masked sums and their cross-field sum are computed ONCE and
+    broadcast to all matching positions, so positions seen from different
+    fields agree exactly (not just up to f32 summation order).
 
     ``shared_rows``: static list of ``(phys_row, [field_idx, ...])``.
     """
@@ -143,8 +151,9 @@ def eqgemm_combine(ids_fb, g_fb, shared_rows=()):
         mask = ids_fb[fi] == row                       # [k, B]
         t = jnp.sum(jnp.where(mask[..., None], g_fb[fi], 0.0),
                     axis=1)                            # [k, W] per-field sum
-        corr = jnp.sum(t, axis=0)[None] - t            # other fields' sums
-        s = s.at[fi].add(jnp.where(mask[..., None], corr[:, None, :], 0.0))
+        total = jnp.sum(t, axis=0)                     # [W] one fixed order
+        s = s.at[fi].set(jnp.where(mask[..., None],
+                                   total[None, None, :], s[fi]))
     return s
 
 

@@ -21,7 +21,9 @@ Semantics and preconditions (asserted by the caller, bank_optimizer):
    would write out of bounds); callers with sentinel ids keep XLA's
    ``mode='drop'`` scatter,
  * duplicate ids are allowed ONLY if they carry identical values (writers
-   race; the lazy EqPlan combine guarantees bit-equal duplicates),
+   race; the lazy EqPlan combine guarantees bit-equal duplicates - within a
+   field via one equality-GEMM reduction order, and for boundary-shared rows
+   via embeddings.eqgemm_combine's single broadcast cross-field total),
  * N must be a multiple of the row block; callers pad by repeating the
    last (id, value) row, which rewrites one real row with its own value.
 
@@ -105,6 +107,11 @@ def scatter_rows_set(arrays, ids, values, *, rb: int = 256,
     assert len(arrays) == len(values) and arrays, (arrays, values)
     assert len({a.shape[0] for a in arrays}) == 1, \
         "all arrays must share the row count (one id set, one OOB bound)"
+    if ids.shape[0] == 0:
+        # no rows touched (e.g. every field lives in the side bank): the
+        # XLA .at[].set path is a no-op here, and a zero-trip Pallas grid
+        # is untested on hardware - return the aliased inputs unchanged.
+        return arrays
     n = ids.shape[0]
     a_count = len(arrays)
     pad = (-n) % rb

@@ -96,15 +96,24 @@ def place(model, params, opt_state, state, mesh: Mesh, *,
     # leaves the same way, scalars replicated.
     rep = NamedSharding(mesh, P())
 
+    bank_shapes = {tuple(l.shape)
+                   for pth, l in jax.tree_util.tree_leaves_with_path(params)
+                   if _is_bank_path(pth)}
+    bank_rows = {s[0] for s in bank_shapes}
+
     def place_opt(leaf):
-        if hasattr(leaf, "shape") and np.ndim(leaf) == 2 and shard_embeddings \
+        if hasattr(leaf, "shape") and shard_embeddings \
+                and np.ndim(leaf) >= 1 \
                 and leaf.shape[0] >= mesh.devices.size:
-            # Heuristic: 2-D opt-state leaves of bank shape follow the bank.
-            bank_shapes = {tuple(l.shape)
-                           for pth, l in jax.tree_util.tree_leaves_with_path(params)
-                           if _is_bank_path(pth)}
-            if tuple(leaf.shape) in bank_shapes:
+            # Heuristics: 2-D opt-state leaves of bank shape follow the bank
+            # (Adam mu/nu); 1-D int leaves of bank ROW count are per-row
+            # metadata (the lazy state's 'last' touch step) and row-shard
+            # the same way.
+            if np.ndim(leaf) == 2 and tuple(leaf.shape) in bank_shapes:
                 return _put_global(leaf, NamedSharding(mesh, P("data", None)))
+            if np.ndim(leaf) == 1 and leaf.shape[0] in bank_rows \
+                    and np.issubdtype(leaf.dtype, np.integer):
+                return _put_global(leaf, NamedSharding(mesh, P("data")))
         return _put_global(leaf, rep)
 
     opt_state = jax.tree.map(place_opt, opt_state)

@@ -135,7 +135,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss="binary_crossentropy",
                 metrics: Sequence[str] = ("binary_crossentropy", "auc"),
-                learning_rate: float = 0.001, bank_update: str = "auto"):
+                learning_rate: float = 0.001, bank_update: str = "auto",
+                lazy_capacity_factor: float | None = 2.0):
         """Keras-style compile (reference basemodel.py:540-552).
 
         ``optimizer``: 'adam'/'sgd'/'adagrad'/'rmsprop' (torch-default
@@ -153,13 +154,18 @@ class Trainer:
           mode to use with ``embedding_exchange='alltoall'``.
         * ``'lazy'``: touched-rows-only sparse Adam with decayed moments and
           decoupled lazy L2 - a DOCUMENTED DEVIATION from reference
-          semantics (PARITY.md), fastest.
+          semantics (PARITY.md), fastest.  Under a mesh with
+          ``shard_embeddings=True`` the update routes touched rows to their
+          owning devices and commits shard-locally
+          (parallel/bank_sharded.py); ``lazy_capacity_factor`` bounds the
+          per-owner exchange capacity (None = exact worst case).
         * ``'dense'``: the faithful round-1 path (works for every model and
           optimizer).
         """
         if bank_update not in ("auto", "dense", "fused", "lazy"):
             raise ValueError(f"unknown bank_update {bank_update!r}")
         self.bank_update = bank_update
+        self.lazy_capacity_factor = lazy_capacity_factor
         self._opt_is_adam = optimizer == "adam"
         self._lr = float(learning_rate)
         if isinstance(optimizer, str):
@@ -201,9 +207,15 @@ class Trainer:
             l2 = float(model.l2_reg_embedding)
             lr = self._lr
             # lazy only: the equality-GEMM combine changes f32 summation
-            # order, so the exact-parity 'fused' mode keeps the sort combine
+            # order, so the exact-parity 'fused' mode keeps the sort combine.
+            # Under a mesh the routed update does its own (sort-based)
+            # combines - no EqPlan.
+            lazy_sharded = (bank_mode == "lazy" and self.mesh is not None
+                            and self.shard_embeddings)
             eq_plan = (bank_optimizer.make_eq_plan(model)
-                       if bank_mode == "lazy" else None)
+                       if bank_mode == "lazy" and not lazy_sharded else None)
+            mesh = self.mesh
+            capf = self.lazy_capacity_factor
             gather_fn = None
             if self.embedding_exchange == "alltoall":
                 from ..parallel import embedding_sharded as _es
@@ -230,6 +242,13 @@ class Trainer:
                     params, opt_state = bank_optimizer.fused_update(
                         self.optimizer, params, opt_state, flat_ids, g_rows,
                         g_rest, lr=lr, l2=l2)
+                elif lazy_sharded:
+                    # lazy under a mesh: owner-routed shard-local commit
+                    params, opt_state, overflow = \
+                        bank_optimizer.lazy_update_sharded(
+                            self.optimizer, params, opt_state, flat_ids,
+                            g_rows, g_rest, lr=lr, l2=l2, mesh=mesh,
+                            capacity_factor=capf)
                 else:
                     # lazy: bank L2 applied as decoupled decay, not reported
                     params, opt_state = bank_optimizer.lazy_update(
@@ -237,6 +256,8 @@ class Trainer:
                         g_rest, lr=lr, l2=l2, eq_plan=eq_plan)
                 stats = {"loss": data_loss, "reg_loss": reg, "aux_loss": aux,
                          "count": jnp.sum(weight)}
+                if lazy_sharded:
+                    stats["bank_overflow"] = overflow
                 return params, opt_state, new_state, stats
         else:
             def train_step(params, opt_state, state, batch, y, weight, rng):
@@ -307,14 +328,11 @@ class Trainer:
                 f"bank_update={mode!r} needs the stock 'adam' optimizer and "
                 "a standard_bank_access model "
                 f"({type(self.model).__name__} is not)")
-        if mode == "lazy" and self.mesh is not None:
-            raise ValueError("bank_update='lazy' does not support a mesh "
-                             "(its opt state is not shardable by place()); "
-                             "use 'fused'")
-        if self.embedding_exchange == "alltoall" and mode != "fused":
+        if self.embedding_exchange == "alltoall" and mode not in ("fused",
+                                                                  "lazy"):
             raise ValueError("embedding_exchange='alltoall' routes the bank "
                              "read through the sparse gather plan - compile "
-                             "with bank_update='fused'")
+                             "with bank_update='fused' or 'lazy'")
         self._bank_mode = mode
 
     def _ensure_initialized(self):

@@ -177,14 +177,62 @@ def test_fused_under_mesh_matches_dense():
     np.testing.assert_allclose(bank_d, bank_m, atol=1e-5, rtol=1e-5)
 
 
-def test_lazy_rejects_mesh():
+def test_lazy_under_mesh_matches_single():
+    """The routed shard-local lazy update (parallel/bank_sharded.py) on an
+    8-device mesh == single-device lazy, through a full fit with l2>0,
+    varlen fields, untouched rows, and a tail batch (VERDICT r2 weak #1:
+    the headline mode must run multi-chip)."""
     mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
-    model, _, _ = _satrans_setup(n=64)
-    tr = Trainer(model, mesh=mesh, seed=0)
-    tr.compile(bank_update="lazy")
-    tr._strategy = tr._resolve_strategy(None)
-    with pytest.raises(ValueError, match="lazy"):
-        tr._ensure_initialized()
+    model, x, y = _satrans_setup(n=512, l2=1e-4)
+    tr_s = _fit(model, x, y, "lazy", batch=256)
+    tr_m = Trainer(model, mesh=mesh, shard_embeddings=True, seed=7)
+    # capacity_factor=None -> exact exchange (no overflow possible)
+    tr_m.compile(learning_rate=0.01, bank_update="lazy",
+                 lazy_capacity_factor=None)
+    tr_m.fit(x, y, batch_size=256, epochs=1, shuffle=False, verbose=0)
+    assert tr_m._bank_mode == "lazy"
+    bank_s = np.asarray(tr_s.params["emb"]["bank"])
+    bank_m = np.asarray(tr_m.params["emb"]["bank"])[:bank_s.shape[0]]
+    np.testing.assert_allclose(bank_s, bank_m, atol=1e-6, rtol=1e-5)
+    # lazy opt state agrees too (mu/nu/last shard with the rows)
+    mu_s = np.asarray(tr_s.opt_state[1]["mu"])
+    mu_m = np.asarray(tr_m.opt_state[1]["mu"])[:mu_s.shape[0]]
+    np.testing.assert_allclose(mu_s, mu_m, atol=1e-6, rtol=1e-5)
+    last_s = np.asarray(tr_s.opt_state[1]["last"])
+    last_m = np.asarray(tr_m.opt_state[1]["last"])[:last_s.shape[0]]
+    np.testing.assert_array_equal(last_s, last_m)
+    np.testing.assert_allclose(tr_s.predict(x, 256), tr_m.predict(x, 256),
+                               atol=1e-5)
+
+
+def test_lazy_mesh_scan_and_capacity():
+    """Routed lazy under the fused scan path with the default (bounded)
+    capacity factor: trains, stays finite, reports zero overflow on a
+    benign batch."""
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    model, x, y = _satrans_setup(n=512, l2=1e-5)
+    tr = Trainer(model, mesh=mesh, shard_embeddings=True, seed=7)
+    tr.compile(learning_rate=0.01, bank_update="lazy")
+    tr.fit(x, y, batch_size=256, epochs=1, shuffle=False, verbose=0,
+           scan_steps=2)
+    assert np.isfinite(tr.predict(x, 256)).all()
+
+
+def test_lazy_mesh_alltoall_gather_matches_single():
+    """lazy + the explicit all-to-all forward exchange: the gather comes
+    through parallel/embedding_sharded and the update through
+    parallel/bank_sharded - still equal to single-device lazy."""
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    model, x, y = _satrans_setup(n=512, l2=1e-4)
+    tr_s = _fit(model, x, y, "lazy", batch=256)
+    tr_m = Trainer(model, mesh=mesh, shard_embeddings=True,
+                   embedding_exchange="alltoall", seed=7)
+    tr_m.compile(learning_rate=0.01, bank_update="lazy",
+                 lazy_capacity_factor=None)
+    tr_m.fit(x, y, batch_size=256, epochs=1, shuffle=False, verbose=0)
+    bank_s = np.asarray(tr_s.params["emb"]["bank"])
+    bank_m = np.asarray(tr_m.params["emb"]["bank"])[:bank_s.shape[0]]
+    np.testing.assert_allclose(bank_s, bank_m, atol=1e-6, rtol=1e-5)
 
 
 def test_fused_alltoall_exchange_matches_dense():
@@ -417,3 +465,132 @@ def test_fused_pallas_scatter_matches_xla(monkeypatch):
                                   np.asarray(ap_.mu["emb"]["bank"]))
     np.testing.assert_array_equal(np.asarray(ax_.nu["emb"]["bank"]),
                                   np.asarray(ap_.nu["emb"]["bank"]))
+
+
+def test_eqgemm_shared_row_positions_bit_identical():
+    """Every position of a boundary-shared row carries the byte-identical
+    total regardless of which field saw it (the row-DMA scatter's racing-
+    writers precondition, ADVICE r2 finding 1)."""
+    rng = np.random.default_rng(11)
+    F, B, W = 3, 128, 16
+    ids = np.stack([rng.integers(0, 11, B), rng.integers(10, 21, B),
+                    rng.integers(20, 30, B)]).astype(np.int32)
+    # force many hits on the shared rows from both sides
+    ids[0, :20] = 10
+    ids[1, 20:40] = 10
+    ids[1, 40:60] = 20
+    ids[2, :20] = 20
+    g = rng.normal(size=(F, B, W)).astype(np.float32)
+    shared = ((10, (0, 1)), (20, (1, 2)))
+    s = np.asarray(embeddings.eqgemm_combine(jnp.asarray(ids),
+                                             jnp.asarray(g), shared))
+    for row in (10, 20):
+        vals = s.reshape(-1, W)[ids.reshape(-1) == row]
+        assert vals.shape[0] >= 40
+        np.testing.assert_array_equal(vals, np.broadcast_to(vals[0], vals.shape))
+
+
+def test_eqgemm_batch_cap_engages_sort_path(monkeypatch):
+    """Above the documented [F,B,B] memory cap the lazy update falls back to
+    the sort combine (VERDICT r2 weak #8) - bitwise: capped eq_plan run ==
+    eq_plan=None run."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    plan = bank_optimizer.EqPlan(fields=10, shared=())
+    assert bank_optimizer.use_eqgemm(plan, 10 * 8192)       # 2.7 GB <= 4 GB
+    assert not bank_optimizer.use_eqgemm(plan, 10 * 32768)  # 43 GB > 4 GB
+    assert not bank_optimizer.use_eqgemm(None, 10 * 128)
+    assert not bank_optimizer.use_eqgemm(plan, 0)
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=256, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    plan = bank_optimizer.make_eq_plan(model)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01)
+    opt_state = bank_optimizer.lazy_init(opt, params)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = embeddings.bank_gather_plan(params["emb"], layout, batch)
+    rng = np.random.default_rng(0)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    monkeypatch.setenv("SATRANS_EQGEMM_MAX_BYTES", "1")
+    p_cap, s_cap = bank_optimizer.lazy_update(
+        opt, params, opt_state, flat_ids, g_rows, g_rest, lr=0.01, l2=1e-4,
+        eq_plan=plan)
+    monkeypatch.delenv("SATRANS_EQGEMM_MAX_BYTES")
+    p_sort, s_sort = bank_optimizer.lazy_update(
+        opt, params, opt_state, flat_ids, g_rows, g_rest, lr=0.01, l2=1e-4)
+    np.testing.assert_array_equal(np.asarray(p_cap["emb"]["bank"]),
+                                  np.asarray(p_sort["emb"]["bank"]))
+    np.testing.assert_array_equal(np.asarray(s_cap[1]["mu"]),
+                                  np.asarray(s_sort[1]["mu"]))
+
+
+def test_pallas_scatter_empty_ids_noop():
+    """N=0 (no large-bank rows touched) returns the arrays unchanged instead
+    of lowering a zero-trip Pallas grid (ADVICE r2 finding 4)."""
+    from satrans_tpu.ops.pallas import scatter as pallas_scatter
+
+    a = jnp.arange(12.0).reshape(3, 4)
+    (got,) = pallas_scatter.scatter_rows_set(
+        (a,), jnp.zeros((0,), jnp.int32), (jnp.zeros((0, 4)),),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(a))
+
+
+def test_lazy_oob_ids_consistent_across_state(monkeypatch):
+    """OOB ids are clipped to the last row for ALL four lazy-state scatters
+    (bank/mu/nu/last), on both the XLA and Pallas paths (ADVICE r2 finding
+    2: previously 'last' dropped while the Pallas DMA clamped)."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=128, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    plan = bank_optimizer.make_eq_plan(model)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01)
+    opt_state = bank_optimizer.lazy_init(opt, params)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = np.array(
+        embeddings.bank_gather_plan(params["emb"], layout, batch))
+    R = params["emb"]["bank"].shape[0]
+    flat_ids[:8] = R + 5  # plant OOB ids (out-of-vocab data rows)
+    flat_ids = jnp.asarray(flat_ids)
+    rng = np.random.default_rng(0)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    for impl, use_plan in (("xla", True), ("interpret", True),
+                           ("xla", False)):
+        monkeypatch.setenv("SATRANS_SCATTER", impl)
+        p, s = bank_optimizer.lazy_update(
+            opt, params, opt_state, flat_ids, g_rows, g_rest,
+            lr=0.01, l2=1e-4, eq_plan=plan if use_plan else None)
+        last = np.asarray(s[1]["last"])
+        mu = np.asarray(s[1]["mu"])
+        bank = np.asarray(p["emb"]["bank"])
+        # the clipped row R-1 was touched: bank/mu changed AND last advanced
+        assert last[R - 1] == 1, (impl, use_plan)
+        assert not np.array_equal(mu[R - 1],
+                                  np.zeros_like(mu[R - 1])), (impl, use_plan)
+        assert not np.array_equal(
+            bank[R - 1], np.asarray(params["emb"]["bank"])[R - 1])
