@@ -98,12 +98,22 @@ class DomainRouted:
 class Trainer:
     def __init__(self, model, *, mesh=None, shard_embeddings: bool = False,
                  embedding_exchange: str = "xla", seed: int = 1024,
-                 scan_unroll: int = 1):
+                 scan_unroll: int = 1,
+                 exchange_capacity_factor: float | None = None):
         """``embedding_exchange``: how a row-sharded bank is read in the
         sparse bank-update modes - ``'xla'`` (default) leaves the gather to
         the SPMD partitioner; ``'alltoall'`` uses the explicit two-round
-        exchange (parallel/embedding_sharded.alltoall_lookup, exact
-        capacity).  Requires ``mesh`` + ``shard_embeddings``.
+        exchange (parallel/embedding_sharded.alltoall_lookup).  Requires
+        ``mesh`` + ``shard_embeddings``.
+
+        ``exchange_capacity_factor``: per-owner capacity of the forward
+        exchange.  ``None`` (default) is the exact worst case C=N - per-
+        device traffic then GROWS with mesh size (O(n*N*d), measured in
+        bench/scaling_hlo.py).  A bounded factor (2.0 recommended at scale)
+        makes per-device traffic mesh-size-independent; a batch whose
+        unique-row ownership skews beyond it reads zeros for the overflowed
+        rows (counted - see embedding_sharded docs), which real CTR batches
+        do not approach after duplicate combining.
 
         ``scan_unroll``: unroll factor for the fused multi-step train scan
         (fit's ``scan_steps``).  XLA While loops carry a fixed per-iteration
@@ -122,6 +132,7 @@ class Trainer:
         self.mesh = mesh
         self.shard_embeddings = shard_embeddings
         self.embedding_exchange = embedding_exchange
+        self.exchange_capacity_factor = exchange_capacity_factor
         self.scan_unroll = int(scan_unroll)
         self.seed = int(seed)
         self.stop_training = False
@@ -220,10 +231,11 @@ class Trainer:
             if self.embedding_exchange == "alltoall":
                 from ..parallel import embedding_sharded as _es
                 mesh = self.mesh
+                xcapf = self.exchange_capacity_factor
 
                 def gather_fn(bank, flat_ids):
                     emb, _ = _es.alltoall_lookup(bank, flat_ids, mesh,
-                                                 capacity_factor=None)
+                                                 capacity_factor=xcapf)
                     return emb
 
             def train_step(params, opt_state, state, batch, y, weight, rng):
