@@ -28,6 +28,7 @@ parameter gradients across grid steps into single-block outputs.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 import os
@@ -81,12 +82,66 @@ def _softmax_lastdim(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+# In-kernel PRNG with an interpret-mode emulation.  pltpu.prng_* has no
+# interpret rule, so on CPU (tests) the same seed/draw-order contract is
+# provided by a stateless counter hash: each _prng_seed resets a trace-time
+# call counter, and every draw mixes (seed, call index, element index)
+# through lowbias32.  fwd and bwd regenerate identical masks because they
+# seed identically and draw the same shapes in the same order - the same
+# contract the hardware PRNG path relies on.  The two paths produce
+# DIFFERENT masks from the same seed (different generators); each is
+# self-consistent, which is all dropout needs.
+_INTERP_PRNG = {"active": False, "seed": None, "calls": 0}
+
+
+@contextlib.contextmanager
+def _interp_prng_scope(active: bool):
+    """Arm the emulated PRNG while a pallas_call traces in interpret mode."""
+    prev = _INTERP_PRNG["active"]
+    _INTERP_PRNG["active"] = active
+    try:
+        yield
+    finally:
+        _INTERP_PRNG["active"] = prev
+        _INTERP_PRNG["seed"] = None
+
+
+def _prng_seed(val):
+    if _INTERP_PRNG["active"]:
+        _INTERP_PRNG["seed"] = val
+        _INTERP_PRNG["calls"] = 0
+    else:
+        pltpu.prng_seed(val)
+
+
+def _random_bits(shape):
+    if not _INTERP_PRNG["active"]:
+        return pltpu.prng_random_bits(shape)  # uint32
+    salt = _INTERP_PRNG["calls"]
+    _INTERP_PRNG["calls"] += 1
+    seed = jnp.asarray(_INTERP_PRNG["seed"]).astype(jnp.uint32)
+    idx = jnp.zeros(shape, jnp.uint32)
+    stride = 1
+    for dim in reversed(range(len(shape))):
+        idx = idx + jax.lax.broadcasted_iota(jnp.uint32, shape, dim) \
+            * jnp.uint32(stride)
+        stride *= shape[dim]
+    x = idx ^ (seed * jnp.uint32(0x9E3779B9))
+    x = x + jnp.uint32((salt * 0x85EBCA6B + 0xC2B2AE35) & 0xFFFFFFFF)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
 def _dropout_mask(shape, rate: float):
     """Generate a keep-mask from the already-seeded in-kernel PRNG.
 
     Draw order matters: fwd and bwd must call in the same sequence.
     """
-    bits = pltpu.prng_random_bits(shape)  # uint32
+    bits = _random_bits(shape)  # uint32
     # keep if bits >= rate * 2^32
     threshold = jnp.uint32(int(rate * (2 ** 32)))
     return (bits >= threshold).astype(F32) / (1.0 - rate)
@@ -222,7 +277,7 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     sums, ``s_keep`` the PRE-dropout attention probabilities per head)."""
     TB, F_, d = x_ref.shape
     if train and drop_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        _prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:].astype(F32)
     x2 = x.reshape(TB * F_, d)
     onehot = dom_ref[:]                                   # [TB, D]
@@ -330,30 +385,32 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
     g_att = _attn_group(block_b, F_)
     mask = _block_mask(block_b // g_att, g_att, F_, F_)
 
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
-                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1cat, w2cat, lnq,
-      layer_params["wout"], lno, mask)
+    with _interp_prng_scope(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
+                    pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+                    pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((block_b, F_, d),
+                                       lambda i, *_: (i, 0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1cat, w2cat, lnq,
+          layer_params["wout"], lno, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +431,7 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
     # ---- regenerate dropout masks in the forward draw order ----
     if use_drop:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        _prng_seed(seed_ref[0] + pl.program_id(0))
         m_yq = _dropout_mask((N, d), drop_rate)
         m_yk = _dropout_mask((N, d), drop_rate)
         g_attn0 = _attn_group(TB, F_, attn_cap)
@@ -564,7 +621,7 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
 
     # ---- regenerate dropout masks in the forward draw order ----
     if use_drop:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        _prng_seed(seed_ref[0] + pl.program_id(0))
         m_yq = _dropout_mask((N, d), drop_rate)
         m_yk = _dropout_mask((N, d), drop_rate)
         g_attn0 = _attn_group(TB, F_, attn_cap)
@@ -767,19 +824,20 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
     kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B // block_b,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-        ),
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask)
+    with _interp_prng_scope(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B // block_b,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask)
 
 
 def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
@@ -816,27 +874,28 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
         jax.ShapeDtypeStruct((d, d), F32),                # dwout
         jax.ShapeDtypeStruct((2, d), F32),                # dlno
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B // block_b,),
-            in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
-                pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+    with _interp_prng_scope(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B // block_b,),
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+                    pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                ),
             ),
-        ),
-        out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*operands)
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))

@@ -95,30 +95,97 @@ def test_fused_vjp_matches_reference_grads(bwd):
                                rtol=2e-3, atol=2e-4)
 
 
-@pytest.mark.skipif(jax.devices()[0].platform == "cpu",
-                    reason="pltpu.prng_* not implemented in interpret mode")
+def _interp_dropout_masks(seed, rate, N, d, H, groups, n_attn):
+    """Reproduce the masks the interpret-mode kernels draw: the emulated
+    PRNG is a pure function of (seed, call index, element index), so drawing
+    the same shapes in the kernels' documented order (yq, yk, s per head, z)
+    outside the kernel yields bit-identical masks."""
+    with meta_block._interp_prng_scope(True):
+        meta_block._prng_seed(jnp.int32(seed))  # one tile: program_id == 0
+        m_yq = meta_block._dropout_mask((N, d), rate)
+        m_yk = meta_block._dropout_mask((N, d), rate)
+        m_s = [meta_block._dropout_mask((groups, n_attn, n_attn), rate)
+               for _ in range(H)]
+        m_z = meta_block._dropout_mask((N, d), rate)
+    return m_yq, m_yk, m_s, m_z
+
+
 def test_fused_train_dropout_mask_consistency():
-    """Train mode: fwd is stochastic but fwd/bwd must share masks, so the
-    finite-difference direction along dx must roughly match (same seed)."""
-    x, params, tables, dom, onehot, units, H = _setup(B=16)
+    """Train mode, interpret PRNG: the fused fwd must equal a pure-JAX
+    reference forward with the SAME masks injected (verifies the fwd draw
+    order), and the fused grads must match the reference's grads (verifies
+    the bwd regenerates identical masks - a fwd/bwd draw-order mismatch
+    would corrupt dx through every dropout site)."""
+    # F=24 avoids the wrapper's field padding (24 % SATRANS_PAD_F == 0), so
+    # the kernel tile sees exactly the test's shapes.
+    B, F_, d, D, H = 16, 24, 32, 4, 4
+    rate, seed = 0.3, 123
+    x, params, tables, dom, onehot, units, _ = _setup(B=B, F=F_)
 
     def fused_y(x):
         return meta_block.fused_meta_layer_vjp(
             x, params, tables, onehot, meta_units=units, head_num=H,
-            train=True, drop_rate=0.3, seed=123, block_b=16, interpret=True)
+            train=True, drop_rate=rate, seed=seed, block_b=B,
+            interpret=True)
 
     y1 = fused_y(x)
-    y2 = fused_y(x)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))  # same seed
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(fused_y(x)))
 
-    g = jax.grad(lambda x: jnp.sum(fused_y(x)))(x)
-    # directional finite difference with the SAME seed (masks identical)
-    eps = 1e-3
-    v = jnp.ones_like(x)
-    fd = (jnp.sum(fused_y(x + eps * v)) - jnp.sum(fused_y(x - eps * v))) \
-        / (2 * eps)
-    analytic = jnp.sum(g * v)
-    np.testing.assert_allclose(float(fd), float(analytic), rtol=2e-2)
+    # ---- pure-JAX reference with the kernels' exact masks injected ----
+    N = B * F_
+    h = units[1]
+    g = meta_block._attn_group(B, F_)
+    groups, n_attn = B // g, g * F_
+    m_yq, m_yk, m_s, m_z = _interp_dropout_masks(
+        seed, rate, N, d, H, groups, n_attn)
+    P = d * h + h * d
+    flat = tables["Q"][:, :P]
+    w1cat = jnp.concatenate(list(flat[:, :d * h].reshape(D, d, h)), axis=1)
+    w2cat = jnp.concatenate(list(flat[:, d * h:].reshape(D, h, d)), axis=0)
+    wqkv = jnp.concatenate([params["wq"], params["wk"], params["wv"]],
+                           axis=1)
+    lnq = params["q_meta"]["ln"]
+    lno = params["ln"]
+    onehot_rows = jnp.repeat(onehot, F_, axis=0)
+    blk_mask = meta_block._block_mask(groups, g, F_, F_)
+    dh = d // H
+    scale = 1.0 / np.sqrt(dh)
+
+    def ref_y(x):
+        x2 = x.reshape(N, d)
+        qkv = x2 @ wqkv
+        q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+        yq, _ = meta_block._meta_apply(q0, w1cat, w2cat, onehot_rows,
+                                       D, h, d)
+        qn, _, _ = meta_block._layer_norm_fwd(
+            yq * m_yq + q0, lnq["scale"], lnq["bias"])
+        yk, _ = meta_block._meta_apply(k0, w1cat, w2cat, onehot_rows,
+                                       D, h, d)
+        kn, _, _ = meta_block._layer_norm_fwd(
+            yk * m_yk + k0, lnq["scale"], lnq["bias"])
+        q3 = (qn * scale).reshape(groups, n_attn, d)
+        k3 = kn.reshape(groups, n_attn, d)
+        v3 = v0.reshape(groups, n_attn, d)
+        outs = []
+        for hd in range(H):
+            sl = slice(hd * dh, (hd + 1) * dh)
+            s = jnp.einsum("gik,gjk->gij", q3[..., sl], k3[..., sl])
+            s = meta_block._softmax_lastdim(
+                meta_block._clip_logits(s) + blk_mask)
+            outs.append(jnp.einsum("gij,gjc->gic", s * m_s[hd],
+                                   v3[..., sl]))
+        o2 = jnp.concatenate(outs, axis=-1).reshape(N, d)
+        z = (o2 @ params["wout"]) * m_z
+        y, _, _ = meta_block._layer_norm_fwd(
+            z.reshape(B, F_, d) + x, lno["scale"], lno["bias"])
+        return y
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(ref_y(x)),
+                               rtol=2e-4, atol=2e-5)
+    g_fused = jax.grad(lambda x: jnp.sum(jnp.sin(fused_y(x))))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(ref_y(x))))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_satrans_fused_path_matches_unfused():
