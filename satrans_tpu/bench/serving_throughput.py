@@ -95,22 +95,34 @@ def main():
     log(f"device path: {dev_ms:.2f} ms/batch -> {dev_eps:,.0f} examples/s "
         f"(sum {s:.3e})")
 
-    # --- end-to-end Predictor.predict (host numpy in, scores out) ---
-    pred(feats)  # warm the aot path end-to-end
-    t0 = time.time()
-    n_calls = 8
-    for _ in range(n_calls):
-        out = pred(feats)
-    e2e = time.time() - t0
-    e2e_eps = EVAL_BATCH * n_calls / e2e
-    log(f"e2e predict: {e2e / n_calls * 1e3:.2f} ms/call -> "
-        f"{e2e_eps:,.0f} examples/s (out[0]={out[0]:.4f})")
+    # --- end-to-end Predictor on a MULTI-BATCH request (the eval-loop
+    # shape: one predict() over the whole test split, reference
+    # main.py:353) at pipeline depths 1 (serial, the round-2 number),
+    # 2 and 4 (overlapped host->device staging).
+    n_batches = 8
+    big = {name: np.tile(v, n_batches) for name, v in feats.items()}
+    ref = None
+    e2e = {}
+    for depth in (1, 2, 4):
+        out = pred(big, pipeline_depth=depth)  # warm + correctness
+        if ref is None:
+            ref = out
+        else:
+            np.testing.assert_array_equal(out, ref)
+        t0 = time.time()
+        out = pred(big, pipeline_depth=depth)
+        dt = time.time() - t0
+        eps = EVAL_BATCH * n_batches / dt
+        e2e[f"depth{depth}"] = round(eps, 1)
+        log(f"e2e depth={depth}: {dt / n_batches * 1e3:.2f} ms/batch -> "
+            f"{eps:,.0f} examples/s (out[0]={out[0]:.4f})")
 
     print(json.dumps({
         "workload": f"satrans_aliccp_sota_serve_b{EVAL_BATCH}",
         "device_path_ms": round(dev_ms, 2),
         "device_examples_per_sec": round(dev_eps, 1),
-        "e2e_examples_per_sec": round(e2e_eps, 1),
+        "e2e_examples_per_sec": e2e["depth1"],
+        "e2e_overlapped_examples_per_sec": e2e,
     }))
 
 

@@ -24,6 +24,8 @@ gradient dense in the embedding tables.  ``l2_loss`` reproduces that exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -157,13 +159,56 @@ def eqgemm_combine(ids_fb, g_fb, shared_rows=()):
     return s
 
 
-@jax.custom_vjp
-def _gather_packed(bank, phys_ids):
+# Forward bank-gather implementation.  "xla" is the safe default (SPMD-
+# partitionable); the row-DMA kernel (ops/pallas/gather.py) engages only
+# when the execution-context owner opts in: the Trainer on a SINGLE device
+# (a pallas_call cannot be partitioned by pjit over a sharded batch) and
+# the serving Predictor.  A process mixing meshed and unmeshed trainers
+# would race this flag - last set wins; both settings are correct, only
+# speed differs.
+_FWD_GATHER = {"impl": "xla"}
+
+
+def set_forward_gather(mode: str = "auto") -> str:
+    """Select how ``_gather_packed`` reads bank rows.  ``auto`` resolves
+    via env ``SATRANS_GATHER`` and defaults to XLA - the row-DMA kernel
+    measured NO end-to-end win on the forward gather (XLA fuses the
+    single-array take into its consumers; bank_modes A/B,
+    docs/PERFORMANCE.md r3).  ``xla``/``pallas``/``interpret`` force.
+    Returns the resolved impl."""
+    if mode == "auto":
+        mode = os.environ.get("SATRANS_GATHER", "auto")
+        if mode == "auto":
+            mode = "xla"
+    if mode not in ("xla", "pallas", "interpret"):
+        raise ValueError(f"unknown forward gather impl {mode!r}")
+    _FWD_GATHER["impl"] = mode
+    return mode
+
+
+def _do_gather(bank, phys_ids):
+    """``bank[phys_ids]`` through the selected impl (clip-OOB semantics
+    either way).  Small gathers keep XLA - the kernel's dispatch + id pad
+    only amortizes over thousands of rows."""
+    impl = _FWD_GATHER["impl"]
+    n = int(np.prod(phys_ids.shape)) if phys_ids.shape else 1
+    if impl in ("pallas", "interpret") \
+            and n >= (4096 if impl == "pallas" else 1):
+        from .ops.pallas import gather as pg
+        ids = jnp.clip(phys_ids.reshape(n), 0, bank.shape[0] - 1)
+        rows = pg.gather_rows((bank,), ids,
+                              interpret=impl == "interpret")[0]
+        return rows.reshape(*phys_ids.shape, bank.shape[1])
     return bank[phys_ids]
 
 
+@jax.custom_vjp
+def _gather_packed(bank, phys_ids):
+    return _do_gather(bank, phys_ids)
+
+
 def _gather_packed_fwd(bank, phys_ids):
-    return bank[phys_ids], (bank.shape, phys_ids)
+    return _do_gather(bank, phys_ids), (bank.shape, phys_ids)
 
 
 def _gather_packed_bwd(res, g):

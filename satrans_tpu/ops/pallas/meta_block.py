@@ -339,12 +339,12 @@ def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
         wout_ref, lno_ref, mask_ref, D=D, h=h, head_num=head_num,
         drop_rate=drop_rate, train=train, f_real=f_real, attn_cap=attn_cap)
     out_ref[:] = y.astype(out_ref.dtype)
-    qkv_ref[:] = qkv.reshape(TB, F_, 3 * d)
-    uq_ref[:] = uq.reshape(TB, F_, d)
-    uk_ref[:] = uk.reshape(TB, F_, d)
+    qkv_ref[:] = qkv.reshape(TB, F_, 3 * d).astype(qkv_ref.dtype)
+    uq_ref[:] = uq.reshape(TB, F_, d).astype(uq_ref.dtype)
+    uk_ref[:] = uk.reshape(TB, F_, d).astype(uk_ref.dtype)
     for hd in range(len(s_keep)):
-        s_ref[hd] = s_keep[hd]
-    o_ref[:] = o
+        s_ref[hd] = s_keep[hd].astype(s_ref.dtype)
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
 def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
@@ -641,7 +641,7 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     wout = wout_ref[:]
 
     # ---- load stashed residuals; light recompute of the cheap pieces ----
-    qkv = qkv_ref[:].reshape(N, 3 * d)
+    qkv = qkv_ref[:].reshape(N, 3 * d).astype(F32)
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
     mask_rows = jnp.dot(onehot_rows, _expand_const(D, h),
                         preferred_element_type=F32)
@@ -649,9 +649,11 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
         * mask_rows
     hk = jax.nn.relu(jnp.dot(k0, w1cat, preferred_element_type=F32)) \
         * mask_rows
-    qn, xhat_q, inv_q = _layer_norm_fwd(uq_ref[:].reshape(N, d),
+    qn, xhat_q, inv_q = _layer_norm_fwd(uq_ref[:].reshape(N, d)
+                                        .astype(F32),
                                         lnq_ref[0], lnq_ref[1])
-    kn, xhat_k, inv_k = _layer_norm_fwd(uk_ref[:].reshape(N, d),
+    kn, xhat_k, inv_k = _layer_norm_fwd(uk_ref[:].reshape(N, d)
+                                        .astype(F32),
                                         lnq_ref[0], lnq_ref[1])
 
     g_attn = _attn_group(TB, F_, attn_cap)
@@ -661,11 +663,11 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     k3 = kn.reshape(groups, n_attn, d)
     v3 = v0.reshape(groups, n_attn, d)
 
-    s_list = [s_ref[hd] for hd in range(head_num)]
+    s_list = [s_ref[hd].astype(F32) for hd in range(head_num)]
     sm_list = [s * m_s[hd] if use_drop else s
                for hd, s in enumerate(s_list)]
 
-    o2 = o_ref[:].reshape(N, d)
+    o2 = o_ref[:].reshape(N, d).astype(F32)
     z = jnp.dot(o2, wout, preferred_element_type=F32)
     if use_drop:
         z = z * m_z
@@ -779,16 +781,22 @@ def _common_in_specs(block_b, F_, d, D, h, mask_shape=None):
     return specs
 
 
-def _stash_specs(B, block_b, F_, d, head_num, g_att):
-    """(out_shapes, out_specs) for the stashed residuals."""
+def _stash_specs(B, block_b, F_, d, head_num, g_att, dtype=F32):
+    """(out_shapes, out_specs) for the stashed residuals.
+
+    ``dtype=bf16`` halves the stash HBM traffic (~450 MB/layer fp32 at
+    B=8192, dominated by the [H, B/g, n, n] attention probabilities);
+    backward math stays fp32 - residuals are cast back on load.  The
+    softmax probabilities and pre-LN sums tolerate bf16's 2^-8 resolution
+    (gradient error bounded by the parametrized bf16 grad test)."""
     groups_t = block_b // g_att
     n = g_att * F_
     shapes = (
-        jax.ShapeDtypeStruct((B, F_, 3 * d), F32),               # qkv
-        jax.ShapeDtypeStruct((B, F_, d), F32),                   # uq
-        jax.ShapeDtypeStruct((B, F_, d), F32),                   # uk
-        jax.ShapeDtypeStruct((head_num, B // g_att, n, n), F32),  # s
-        jax.ShapeDtypeStruct((B, F_, d), F32),                   # o
+        jax.ShapeDtypeStruct((B, F_, 3 * d), dtype),               # qkv
+        jax.ShapeDtypeStruct((B, F_, d), dtype),                   # uq
+        jax.ShapeDtypeStruct((B, F_, d), dtype),                   # uk
+        jax.ShapeDtypeStruct((head_num, B // g_att, n, n), dtype),  # s
+        jax.ShapeDtypeStruct((B, F_, d), dtype),                   # o
     )
     specs = (
         pl.BlockSpec((block_b, F_, 3 * d), lambda i, *_: (i, 0, 0)),
@@ -806,7 +814,7 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
     ``(y, qkv, uq, uk, s, o)``; otherwise just ``y``."""
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, stash) = cfg
+     attn_cap, stash, stash_dtype) = cfg
     g_att = _attn_group(block_b, F_, attn_cap)
     mask = _block_mask(block_b // g_att, g_att, F_,
                        f_real if f_real is not None else F_)
@@ -815,7 +823,7 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
     y_spec = pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0))
     if stash:
         st_shapes, st_specs = _stash_specs(B, block_b, F_, d, head_num,
-                                           g_att)
+                                           g_att, stash_dtype)
         kern, out_shape, out_specs = (_fwd_kernel_stash,
                                       (y_shape,) + st_shapes,
                                       (y_spec,) + st_specs)
@@ -844,7 +852,7 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
               stash_res=None):
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, stash) = cfg
+     attn_cap, stash, _stash_dtype) = cfg
     kern = _bwd_kernel_stash if stash else _bwd_kernel
     kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
@@ -903,7 +911,7 @@ def _fused_layer(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
     # primal (no grad requested -> eval/serving): never stash - the
     # residuals would be written and read by nobody
     return _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed,
-                     cfg[:9] + (False,))
+                     cfg[:9] + (False,) + cfg[10:])
 
 
 def _fused_layer_fwd(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
@@ -932,7 +940,8 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                          train: bool = False, seed: int = 0,
                          block_b: int = 128, interpret: bool = False,
                          attn_cap: int | None = None,
-                         bwd: str | None = None):
+                         bwd: str | None = None,
+                         stash_dtype: str | None = None):
     """Differentiable fused layer.  The packing (concats/reshapes) happens
     outside the custom-vjp boundary so XLA autodiffs it, routing gradients
     back to the original parameter structure including the per-domain flat
@@ -972,8 +981,20 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
         bwd = os.environ.get("SATRANS_BWD", "stash")
     if bwd not in ("stash", "recompute"):
         raise ValueError(f"unknown bwd mode {bwd!r}")
+    # Residual stash dtype.  bf16 halves the stash HBM traffic (~450 MB/
+    # layer fp32 at B=8192) but measured SLOWER end-to-end on v5e: lazy
+    # 260.7k vs 280.2k ex/s, dense 205.9k vs 215.6k (bank_modes A/B,
+    # docs/PERFORMANCE.md r3) - the layer is relayout/VPU-bound, not HBM-
+    # bound, and bf16's (16, 128) tiling + cast passes cost more than the
+    # saved bandwidth.  Default stays f32; SATRANS_STASH=bf16 opts in
+    # (grad error pinned by the bf16 test in tests/test_pallas_meta_block).
+    if stash_dtype is None:
+        stash_dtype = os.environ.get("SATRANS_STASH", "f32")
+    if stash_dtype not in ("bf16", "f32"):
+        raise ValueError(f"unknown stash dtype {stash_dtype!r}")
     cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
-           f_real if pad_f else None, attn_cap, bwd == "stash")
+           f_real if pad_f else None, attn_cap, bwd == "stash",
+           jnp.bfloat16 if stash_dtype == "bf16" else F32)
     seed_arr = jnp.asarray([seed], jnp.int32)
     y = _fused_layer(x, wqkv, w1cat, w2cat, lnq,
                      layer_params["wout"], lno,

@@ -52,7 +52,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..embeddings import combine_duplicate_rows
 from ..train.bank_optimizer import (ADAM_B1, ADAM_B2, adam_rows,
-                                    _scatter_impl, pallas_scatter)
+                                    _scatter_impl, gather_rows_impl,
+                                    pallas_scatter)
 
 
 def lazy_routed_update(bank, mu, nu, last, count, flat_ids, g_rows, *,
@@ -121,13 +122,15 @@ def lazy_routed_update(bank, mu, nu, last, count, flat_ids, g_rows, *,
         u2s = jnp.where(real, u2, 0)
         tgt2 = jnp.where(real, u2, rows_per)           # sentinel drops
 
-        # ---- shard-local lazy Adam (identical formulas to lazy_update)
+        # ---- shard-local lazy Adam (identical formulas to lazy_update);
+        # the W-wide row reads ride the row-DMA gather kernel - safe here
+        # because shard_map hands the kernel LOCAL arrays and local ids
         count_inc = count + 1
         k = (count_inc - 1 - jnp.take(last_l, u2s)).astype(jnp.float32)
-        m_u = jnp.take(mu_l, u2s, axis=0) * (ADAM_B1 ** k)[:, None]
-        v_u = jnp.take(nu_l, u2s, axis=0) * (ADAM_B2 ** k)[:, None]
-        w_u = jnp.take(bank_l, u2s, axis=0) \
-            * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
+        w_u0, m_u0, v_u0 = gather_rows_impl((bank_l, mu_l, nu_l), u2s)
+        m_u = m_u0 * (ADAM_B1 ** k)[:, None]
+        v_u = v_u0 * (ADAM_B2 ** k)[:, None]
+        w_u = w_u0 * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
         w2, m2, v2 = adam_rows(w_u, m_u, v_u, gu2, count_inc, lr)
 
         # ---- shard-local commit

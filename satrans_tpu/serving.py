@@ -14,6 +14,8 @@ loop).  For production deployment this module provides:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 
 import jax
@@ -21,12 +23,23 @@ import jax.numpy as jnp
 
 
 class Predictor:
-    def __init__(self, model, params, state=None, *, batch_size: int = 4096):
+    """Frozen scorer.  ``pipeline_depth`` > 1 overlaps host->device batch
+    transfers with compute: a thread pool stages up to ``depth`` batches
+    (pad + device_put) ahead of the score dispatch, so transfer latency -
+    the dominant e2e cost on remote-attached devices - is paid concurrently
+    instead of serially per batch (bench/serving_throughput.py measures the
+    effect; the reference's eval loop syncs per batch, main.py:353)."""
+
+    def __init__(self, model, params, state=None, *, batch_size: int = 4096,
+                 pipeline_depth: int = 2):
         self.model = model
         self.layout = model.layout
         self.params = params
         self.state = state or {}
         self.batch_size = int(batch_size)
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        from . import embeddings as _emb
+        _emb.set_forward_gather("auto")  # single-device scorer
 
         def score(params, state, batch):
             pred, _, _ = model.apply(params, state, batch, train=False)
@@ -73,27 +86,42 @@ class Predictor:
             self.params, self.state, self._example_batch()).compile()
         return self
 
-    def __call__(self, x: dict) -> np.ndarray:
+    def _stage(self, data, start, end):
+        """Pad + transfer one batch to device (runs on a pipeline thread)."""
+        bs = self.batch_size
+        batch = {}
+        for k, v in data.items():
+            part = v[start:end]
+            if len(part) < bs:
+                pad = [(0, bs - len(part))] + [(0, 0)] * (part.ndim - 1)
+                part = np.pad(part, pad)
+            batch[k] = jax.device_put(np.ascontiguousarray(part))
+        return batch
+
+    def __call__(self, x: dict, *,
+                 pipeline_depth: int | None = None) -> np.ndarray:
         data = self.layout.batch_from_dict(x)
         n = len(next(iter(data.values())))
         bs = self.batch_size
+        depth = self.pipeline_depth if pipeline_depth is None \
+            else max(1, int(pipeline_depth))
+        spans = [(s, min(s + bs, n)) for s in range(0, n, bs)]
+        fn = self._compiled if self._compiled is not None else self._score
         outs = []
-        sizes = []
-        for start in range(0, n, bs):
-            end = min(start + bs, n)
-            batch = {}
-            for k, v in data.items():
-                part = v[start:end]
-                if len(part) < bs:
-                    pad = [(0, bs - len(part))] + [(0, 0)] * (part.ndim - 1)
-                    part = np.pad(part, pad)
-                batch[k] = jnp.asarray(part)
-            fn = self._compiled if self._compiled is not None else self._score
-            outs.append(fn(self.params, self.state, batch))
-            sizes.append(end - start)
+        if depth == 1 or len(spans) == 1:
+            for start, end in spans:
+                outs.append(fn(self.params, self.state,
+                               self._stage(data, start, end)))
+        else:
+            with ThreadPoolExecutor(max_workers=depth) as pool:
+                futs = [pool.submit(self._stage, data, s, e)
+                        for s, e in spans]
+                for f in futs:  # dispatch in order; staging runs ahead
+                    outs.append(fn(self.params, self.state, f.result()))
         host = jax.device_get(outs)
         return np.concatenate(
-            [np.asarray(o)[:b] for o, b in zip(host, sizes)]).astype("float64")
+            [np.asarray(o)[:e - s] for o, (s, e) in zip(host, spans)]
+        ).astype("float64")
 
 
 def save(path: str, trainer) -> None:

@@ -56,6 +56,12 @@ def pallas_scatter():
     return scatter
 
 
+def pallas_gather():
+    """Deferred import of the row-DMA gather kernel module."""
+    from ..ops.pallas import gather
+    return gather
+
+
 def _scatter_impl() -> str:
     """Which scatter commits the touched rows (trace-time decision).
 
@@ -70,6 +76,53 @@ def _scatter_impl() -> str:
     if mode in ("xla", "pallas", "interpret"):
         return mode
     return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _gather_impl() -> str:
+    """Which gather reads touched/forward bank rows (trace-time decision).
+
+    Default XLA: unlike the scatter (where the row-DMA kernel wins 3.5x),
+    the gather kernel does NOT win end-to-end - standalone it beats the
+    3-array ``jnp.take`` 0.2 vs 0.7 ms (bench/pallas_gather_probe.py,
+    bench_results/pallas_gather_probe_v5e_r3.json), but in the real step
+    XLA fuses the takes into the decay/Adam chain while the opaque kernel
+    forces three [N, 128] materializations: measured lazy 276.6k vs 280.2k
+    ex/s, dense 214.6k vs 215.6k (bank_modes A/B, docs/PERFORMANCE.md r3).
+    Env ``SATRANS_GATHER=pallas|interpret`` opts in (the kernel stays
+    correct and equality-tested)."""
+    mode = os.environ.get("SATRANS_GATHER", "auto")
+    if mode in ("xla", "pallas", "interpret"):
+        return mode
+    return "xla"
+
+
+def gather_rows_impl(arrays, ids, impl: str | None = None):
+    """Row gather of one id set from several equal-row-count arrays,
+    through the resolved kernel.  ``ids`` must be in range (callers clip;
+    ``jnp.take``'s default clip and the DMA kernel then agree)."""
+    impl = impl or _gather_impl()
+    if impl in ("pallas", "interpret"):
+        return pallas_gather().gather_rows(
+            arrays, ids, interpret=impl == "interpret")
+    # mode='clip' matches the kernel path and the forward gather's clip
+    # semantics (jnp.take's DEFAULT is NaN-fill for OOB ids)
+    return tuple(jnp.take(a, ids, axis=0, mode="clip") for a in arrays)
+
+
+def default_row_gather():
+    """The ``gather_fn`` the Trainer injects into sparse_bank_grads on a
+    SINGLE device (mesh callers keep XLA/all-to-all: an opaque pallas_call
+    cannot be SPMD-partitioned).  None when the resolved impl is XLA -
+    sparse_bank_grads' plain ``jnp.take`` is that path already."""
+    impl = _gather_impl()
+    if impl not in ("pallas", "interpret"):
+        return None
+
+    def fn(bank, flat_ids):
+        ids = jnp.clip(flat_ids, 0, bank.shape[0] - 1)  # = take's clip
+        return pallas_gather().gather_rows(
+            (bank,), ids, interpret=impl == "interpret")[0]
+    return fn
 
 
 class EqPlan(NamedTuple):
@@ -207,7 +260,9 @@ def sparse_bank_grads(model, strategy, params, state, batch, y, weight, rng,
     rest, bank = _split_bank(params)
     flat_ids = embeddings.bank_gather_plan(params["emb"], model.layout, batch)
     if gather_fn is None:
-        rows = jnp.take(bank, flat_ids, axis=0)
+        # clip, not jnp.take's default NaN-fill: OOB ids (out-of-vocab
+        # data) must read the clip row like the dense forward gather does
+        rows = jnp.take(bank, flat_ids, axis=0, mode="clip")
     else:
         rows = gather_fn(bank, flat_ids)
 
@@ -228,11 +283,16 @@ def sparse_bank_grads(model, strategy, params, state, batch, y, weight, rng,
 
 
 def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
-                 *, lr: float, l2: float):
+                 *, lr: float, l2: float, force_xla: bool = False):
     """Exact-parity bank update: analytic-L2 dense Adam pass + touched-row
     correction.  Returns ``(new_params, new_opt_state)`` identical (same
     formulas, same duplicate-combine order) to dense Adam on
     ``scatter(g_rows) + 2*l2*bank``.
+
+    ``force_xla``: mesh callers must pass True - the row-DMA kernels are
+    opaque to the SPMD partitioner, so under pjit-sharded operands only the
+    XLA gather/scatter lower correctly (shard-LOCAL kernel use lives in
+    parallel/bank_sharded.py instead).
     """
     bank = params["emb"]["bank"]
     _, adam = _find_adam_state(opt_state)
@@ -243,9 +303,9 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     # touched rows, computed from PRE-update values with the full gradient
     u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
     u_safe = jnp.where(valid, u, 0)
-    w_u = jnp.take(bank, u_safe, axis=0)
-    m_u = jnp.take(mu_b, u_safe, axis=0)
-    v_u = jnp.take(nu_b, u_safe, axis=0)
+    w_u, m_u, v_u = gather_rows_impl(
+        (bank, mu_b, nu_b), u_safe,
+        impl="xla" if force_xla else None)
     g_full = gu + (2.0 * l2) * w_u
     w_u2, m_u2, v_u2 = adam_rows(w_u, m_u, v_u, g_full, count_inc, lr)
 
@@ -262,7 +322,7 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     # overwrite touched rows with their exact values
     tgt = jnp.where(valid, u, bank.shape[0])
     idx, adam_new = _find_adam_state(new_opt)
-    impl = _scatter_impl()
+    impl = "xla" if force_xla else _scatter_impl()
     if impl in ("pallas", "interpret"):
         # sentinel ids (== row count) are dropped by the predicated DMA
         nb, nm, nn_ = pallas_scatter().scatter_rows_set(
@@ -298,7 +358,8 @@ def lazy_init(optimizer, params):
 
 
 def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
-                *, lr: float, l2: float, eq_plan: EqPlan | None = None):
+                *, lr: float, l2: float, eq_plan: EqPlan | None = None,
+                force_xla: bool = False):
     """Touched-rows-only bank update (documented deviation, module doc).
 
     With ``eq_plan`` (make_eq_plan), duplicates are combined by equality
@@ -349,15 +410,19 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
         tgt = jnp.where(valid, u, bank.shape[0])
         unique = True
 
+    # the 'last' read stays jnp.take (int32 [N]: 4-byte rows are no DMA
+    # workload); the three W-wide row reads ride the row-DMA gather kernel
     k = (count_inc - 1 - jnp.take(b["last"], u_safe)).astype(jnp.float32)
-    m_u = jnp.take(b["mu"], u_safe, axis=0) * (ADAM_B1 ** k)[:, None]
-    v_u = jnp.take(b["nu"], u_safe, axis=0) * (ADAM_B2 ** k)[:, None]
+    w_u0, m_u0, v_u0 = gather_rows_impl(
+        (bank, b["mu"], b["nu"]), u_safe,
+        impl="xla" if force_xla else None)
+    m_u = m_u0 * (ADAM_B1 ** k)[:, None]
+    v_u = v_u0 * (ADAM_B2 ** k)[:, None]
     # decoupled weight decay for the k skipped steps plus this one
-    w_u = jnp.take(bank, u_safe, axis=0) \
-        * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
+    w_u = w_u0 * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
     w_u2, m_u2, v_u2 = adam_rows(w_u, m_u, v_u, gu, count_inc, lr)
 
-    impl = _scatter_impl()
+    impl = "xla" if force_xla else _scatter_impl()
     if not unique and impl in ("pallas", "interpret"):
         # EqPlan path: every position is a REAL in-range row (ids clipped
         # above; no drop sentinel) and duplicate positions carry

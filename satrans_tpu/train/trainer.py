@@ -211,6 +211,10 @@ class Trainer:
         model = self.model
         strategy = self._strategy
         bank_mode = getattr(self, "_bank_mode", "dense")
+        # forward bank gather: row-DMA kernel on a single TPU, XLA under a
+        # mesh (pjit cannot partition an opaque pallas_call)
+        from .. import embeddings as _emb
+        _emb.set_forward_gather("auto" if self.mesh is None else "xla")
 
         if bank_mode in ("fused", "lazy"):
             from . import bank_optimizer
@@ -227,6 +231,10 @@ class Trainer:
                        if bank_mode == "lazy" and not lazy_sharded else None)
             mesh = self.mesh
             capf = self.lazy_capacity_factor
+            # mesh callers keep XLA kernels outside shard_map: an opaque
+            # pallas_call cannot be SPMD-partitioned (the sharded lazy path
+            # uses the kernels shard-LOCALLY in parallel/bank_sharded.py)
+            force_xla = self.mesh is not None
             gather_fn = None
             if self.embedding_exchange == "alltoall":
                 from ..parallel import embedding_sharded as _es
@@ -237,6 +245,10 @@ class Trainer:
                     emb, _ = _es.alltoall_lookup(bank, flat_ids, mesh,
                                                  capacity_factor=xcapf)
                     return emb
+            elif self.mesh is None:
+                # single device: the row-DMA gather kernel reads the
+                # step's bank rows (ops/pallas/gather.py; None on CPU)
+                gather_fn = bank_optimizer.default_row_gather()
 
             def train_step(params, opt_state, state, batch, y, weight, rng):
                 # models that need the real (unpadded) sample count or pad
@@ -253,7 +265,7 @@ class Trainer:
                         jnp.square(params["emb"]["bank"]))
                     params, opt_state = bank_optimizer.fused_update(
                         self.optimizer, params, opt_state, flat_ids, g_rows,
-                        g_rest, lr=lr, l2=l2)
+                        g_rest, lr=lr, l2=l2, force_xla=force_xla)
                 elif lazy_sharded:
                     # lazy under a mesh: owner-routed shard-local commit
                     params, opt_state, overflow = \
@@ -265,7 +277,8 @@ class Trainer:
                     # lazy: bank L2 applied as decoupled decay, not reported
                     params, opt_state = bank_optimizer.lazy_update(
                         self.optimizer, params, opt_state, flat_ids, g_rows,
-                        g_rest, lr=lr, l2=l2, eq_plan=eq_plan)
+                        g_rest, lr=lr, l2=l2, eq_plan=eq_plan,
+                        force_xla=force_xla)
                 stats = {"loss": data_loss, "reg_loss": reg, "aux_loss": aux,
                          "count": jnp.sum(weight)}
                 if lazy_sharded:

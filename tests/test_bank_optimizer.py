@@ -594,3 +594,107 @@ def test_lazy_oob_ids_consistent_across_state(monkeypatch):
                                   np.zeros_like(mu[R - 1])), (impl, use_plan)
         assert not np.array_equal(
             bank[R - 1], np.asarray(params["emb"]["bank"])[R - 1])
+
+
+def _lazy_fixture():
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=256, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-8)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = embeddings.bank_gather_plan(params["emb"], layout, batch)
+    rng = np.random.default_rng(0)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+    return bank_optimizer, model, params, opt, flat_ids, g_rows, g_rest
+
+
+def test_lazy_update_pallas_gather_matches_xla(monkeypatch):
+    """lazy_update reading bank/mu/nu rows through the row-DMA gather
+    kernel (interpret) is bit-identical to the jnp.take path."""
+    bank_optimizer, model, params, opt, flat_ids, g_rows, g_rest = \
+        _lazy_fixture()
+    opt_state = bank_optimizer.lazy_init(opt, params)
+    monkeypatch.setenv("SATRANS_SCATTER", "xla")
+
+    def run():
+        return bank_optimizer.lazy_update(
+            opt, params, opt_state, flat_ids, g_rows, g_rest,
+            lr=0.01, l2=1e-4)
+
+    monkeypatch.setenv("SATRANS_GATHER", "xla")
+    p_x, s_x = run()
+    monkeypatch.setenv("SATRANS_GATHER", "interpret")
+    p_p, s_p = run()
+    np.testing.assert_array_equal(np.asarray(p_x["emb"]["bank"]),
+                                  np.asarray(p_p["emb"]["bank"]))
+    for key in ("mu", "nu", "last"):
+        np.testing.assert_array_equal(np.asarray(s_x[1][key]),
+                                      np.asarray(s_p[1][key]))
+
+
+def test_fused_update_pallas_gather_matches_xla(monkeypatch):
+    bank_optimizer, model, params, opt, flat_ids, g_rows, g_rest = \
+        _lazy_fixture()
+    opt_state = opt.init(params)
+    monkeypatch.setenv("SATRANS_SCATTER", "xla")
+
+    def run():
+        return bank_optimizer.fused_update(
+            opt, params, opt_state, flat_ids, g_rows, g_rest,
+            lr=0.01, l2=1e-4)
+
+    monkeypatch.setenv("SATRANS_GATHER", "xla")
+    p_x, s_x = run()
+    monkeypatch.setenv("SATRANS_GATHER", "interpret")
+    p_p, s_p = run()
+    np.testing.assert_array_equal(np.asarray(p_x["emb"]["bank"]),
+                                  np.asarray(p_p["emb"]["bank"]))
+
+
+def test_default_row_gather_matches_take(monkeypatch):
+    """The Trainer-injected single-device gather_fn == jnp.take (incl. the
+    OOB clip both share)."""
+    bank_optimizer, model, params, opt, flat_ids, g_rows, g_rest = \
+        _lazy_fixture()
+    bank = params["emb"]["bank"]
+    monkeypatch.setenv("SATRANS_GATHER", "xla")
+    assert bank_optimizer.default_row_gather() is None
+    monkeypatch.setenv("SATRANS_GATHER", "interpret")
+    fn = bank_optimizer.default_row_gather()
+    ids = jnp.concatenate([flat_ids,
+                           jnp.asarray([bank.shape[0] + 5], jnp.int32)])
+    np.testing.assert_array_equal(
+        np.asarray(fn(bank, ids)),
+        np.asarray(jnp.take(bank, ids, axis=0, mode="clip")))
+
+
+def test_forward_gather_interpret_matches_xla():
+    """embeddings._gather_packed through the row-DMA kernel (interpret) ==
+    the XLA indexing path, in a full model forward."""
+    bank_optimizer, model, params, opt, flat_ids, g_rows, g_rest = \
+        _lazy_fixture()
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, _ = synthetic_data(n=64, num_sparse=3, vocab=300)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    _, state = model.init(jax.random.PRNGKey(0))
+    try:
+        assert embeddings.set_forward_gather("xla") == "xla"
+        want, _, _ = model.apply(params, state, batch)
+        assert embeddings.set_forward_gather("interpret") == "interpret"
+        got, _, _ = model.apply(params, state, batch)
+    finally:
+        embeddings.set_forward_gather("xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -80,3 +80,13 @@ def test_serving_restores_fit_learned_domain_offset(tmp_path):
     assert fresh.domain_id_offset == 0
     np.testing.assert_allclose(p(x), tr.predict(x, batch_size=128),
                                atol=1e-6)
+
+
+def test_predictor_pipelined_matches_serial():
+    """The overlapped (threaded staging) path must return bit-identical
+    scores to the serial path, including the padded tail batch."""
+    tr, x, y = _trained()
+    p = serving.Predictor.from_trainer(tr, batch_size=128)
+    want = p(x, pipeline_depth=1)
+    for depth in (2, 4):
+        np.testing.assert_array_equal(p(x, pipeline_depth=depth), want)
