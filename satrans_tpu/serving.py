@@ -23,15 +23,18 @@ import jax.numpy as jnp
 
 
 class Predictor:
-    """Frozen scorer.  ``pipeline_depth`` > 1 overlaps host->device batch
-    transfers with compute: a thread pool stages up to ``depth`` batches
-    (pad + device_put) ahead of the score dispatch, so transfer latency -
-    the dominant e2e cost on remote-attached devices - is paid concurrently
-    instead of serially per batch (bench/serving_throughput.py measures the
-    effect; the reference's eval loop syncs per batch, main.py:353)."""
+    """Frozen scorer.  A multi-batch request overlaps host->device transfer
+    with compute through JAX's async dispatch: batches are staged and
+    dispatched WITHOUT syncing per batch (one device_get at the end), which
+    measured 308.9k ex/s e2e vs the 93k of a per-call-synced loop on the
+    remote-tunneled v5e (bench/serving_throughput.py; the reference's eval
+    loop syncs per batch, main.py:353).  ``pipeline_depth`` > 1 additionally
+    stages batches from a thread pool - measured SLOWER on this tunnel
+    (224-275k: transfers serialize server-side and threads add overhead),
+    so the default is 1; the knob remains for host-attached devices."""
 
     def __init__(self, model, params, state=None, *, batch_size: int = 4096,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 1):
         self.model = model
         self.layout = model.layout
         self.params = params
