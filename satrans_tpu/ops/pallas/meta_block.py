@@ -206,12 +206,44 @@ def _attn_group(TB: int, F_: int, cap: int | None = None) -> int:
     docs/PERFORMANCE.md).
     """
     if cap is None:
-        cap = 128
+        cap = int(os.environ.get("SATRANS_ATTN_CAP", "128"))
     best = 1
     for g in range(1, TB + 1):
         if TB % g == 0 and g * F_ <= cap:
             best = g
     return best
+
+
+def _attn_variant() -> str:
+    """How per-head attention GEMMs address the head's d/H lanes.
+
+    ``slice`` (round-2 behavior): ``q3[..., hd*dh:(hd+1)*dh]`` - every
+    8-wide lane slice of a 128-lane-padded f32 tensor costs a Mosaic
+    relayout, and the attention block is relayout-bound (interior ablation,
+    docs/PERFORMANCE.md round 1).
+
+    ``masked``: full-width GEMMs with the head's lanes selected by an
+    elementwise 0/1 mask: ``S_h = (q*mask_h) @ k^T`` (masked-out lanes
+    contribute exact zero products) and ``o = sum_h S_h @ (v*mask_h)``
+    (each term is nonzero only on its head's lanes, so the sum IS the
+    head concat).  4x the MXU flops - which are idle - and zero lane
+    relayouts.  Same math up to f32 contraction order.
+
+    Env ``SATRANS_ATTN`` selects; default recorded in docs/PERFORMANCE.md
+    with the bank_modes A/B that chose it.
+    """
+    mode = os.environ.get("SATRANS_ATTN", "masked")
+    if mode not in ("slice", "masked"):
+        raise ValueError(f"unknown attention variant {mode!r}")
+    return mode
+
+
+def _head_masks(d: int, head_num: int):
+    """[H, d] 0/1 lane masks: row h is 1 on head h's dh lanes."""
+    dh = d // head_num
+    lane = jax.lax.broadcasted_iota(jnp.int32, (head_num, d), 1)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (head_num, d), 0)
+    return (lane // dh == hh).astype(F32)
 
 
 def _block_mask(groups: int, g: int, F_: int, f_real: int):
@@ -249,11 +281,18 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
     qg = (q * scale).reshape(groups, n, d)
     kg = k.reshape(groups, n, d)
     vg = v.reshape(groups, n, d)
+    masked = _attn_variant() == "masked"
+    hm = _head_masks(d, head_num) if masked else None
     outs = []
     s_keep = []
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
-        qh, kh, vh = qg[..., sl], kg[..., sl], vg[..., sl]
+        if masked:
+            # full-width GEMM, head lanes selected by the 0/1 mask: the
+            # other lanes multiply to exact zeros (see _attn_variant)
+            qh, kh, vh = qg * hm[hd], kg, vg * hm[hd]
+        else:
+            qh, kh, vh = qg[..., sl], kg[..., sl], vg[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)  # [G, n, n]
         s = _clip_logits(s) + mask
@@ -262,9 +301,12 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
         if train and drop_rate > 0.0:
             s = s * _dropout_mask(s.shape, drop_rate)
         o = jax.lax.dot_general(s, vh, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=F32)  # [G, n, dh]
-        outs.append(o)
-    o = jnp.concatenate(outs, axis=-1).reshape(TB, F_, d)
+                                preferred_element_type=F32)
+        outs.append(o)  # masked: [G, n, d] nonzero only on head lanes
+    if masked:
+        o = sum(outs).reshape(TB, F_, d)  # the sum IS the head concat
+    else:
+        o = jnp.concatenate(outs, axis=-1).reshape(TB, F_, d)
     return o, s_keep
 
 
@@ -417,6 +459,67 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
 # backward kernel (recompute-forward, flash-attention style)
 # ---------------------------------------------------------------------------
 
+def _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list, m_s, use_drop,
+                    head_num: int, dh: int):
+    """Per-head attention gradient contractions on the grouped
+    ``[G, n, d]`` shapes; returns ``(dq3, dk3, dv3)``.  ``q3`` carries the
+    1/sqrt(dh) scale (see the callers).  The ``masked`` variant replaces
+    every lane slice with a full-width GEMM against a head-masked operand
+    (exact-zero products off the head's lanes; the per-head results are
+    lane-disjoint so their SUM is the head concat) - see _attn_variant."""
+    d = q3.shape[-1]
+    if _attn_variant() == "masked":
+        hm = _head_masks(d, head_num)
+        dq = dk = dv = 0.0
+        for hd in range(head_num):
+            s, sm = s_list[hd], sm_list[hd]
+            ds_used = jax.lax.dot_general(do3, v3 * hm[hd],
+                                          (((2,), (2,)), ((0,), (0,))),
+                                          preferred_element_type=F32)
+            dvh = jax.lax.dot_general(sm, do3 * hm[hd],
+                                      (((1,), (1,)), ((0,), (0,))),
+                                      preferred_element_type=F32)
+            ds = ds_used * m_s[hd] if use_drop else ds_used
+            da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
+            dq = dq + jax.lax.dot_general(da, k3 * hm[hd],
+                                          (((2,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=F32)
+            dk = dk + jax.lax.dot_general(da, q3 * hm[hd],
+                                          (((1,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=F32)
+            dv = dv + dvh
+        return dq, dk, dv
+    dqn_parts, dkn_parts, dv_parts = [], [], []
+    for hd in range(head_num):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        do_h = do3[..., sl]
+        vh = v3[..., sl]
+        s = s_list[hd]
+        sm = sm_list[hd]
+        # dS_used[g,i,j] = sum_c do[g,i,c] v[g,j,c]
+        ds_used = jax.lax.dot_general(do_h, vh, (((2,), (2,)), ((0,), (0,))),
+                                      preferred_element_type=F32)
+        # dV_h[g,j,c] = sum_i sm[g,i,j] do[g,i,c]
+        dvh = jax.lax.dot_general(sm, do_h, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
+        dv_parts.append(dvh)
+        ds = ds_used * m_s[hd] if use_drop else ds_used
+        da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
+        # q3 carries the 1/sqrt(dh) scale, so da needs none: dkh contracts
+        # against the scaled q3 and dq is unscaled by the caller
+        qh, kh = q3[..., sl], k3[..., sl]
+        dqh = jax.lax.dot_general(da, kh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
+        dkh = jax.lax.dot_general(da, qh, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=F32)
+        dqn_parts.append(dqh)
+        dkn_parts.append(dkh)
+    return (jnp.concatenate(dqn_parts, axis=-1),
+            jnp.concatenate(dkn_parts, axis=-1),
+            jnp.concatenate(dv_parts, axis=-1))
+
+
+
 def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
                 lnq_ref, wout_ref, lno_ref, mask_ref, g_ref,
                 dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
@@ -475,11 +578,16 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     v3 = v0.reshape(groups, n_attn, d)
     blk_mask = mask_ref[:]
 
+    masked_attn = _attn_variant() == "masked"
+    hm = _head_masks(d, head_num) if masked_attn else None
     s_list, sm_list = [], []
     o_parts = []
     for hd in range(head_num):
         sl = slice(hd * dh, (hd + 1) * dh)
-        qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
+        if masked_attn:
+            qh, kh, vh = q3 * hm[hd], k3, v3 * hm[hd]
+        else:
+            qh, kh, vh = q3[..., sl], k3[..., sl], v3[..., sl]
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=F32)
         s = _clip_logits(s) + blk_mask
@@ -490,7 +598,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
         o = jax.lax.dot_general(sm, vh, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=F32)
         o_parts.append(o)
-    o3 = jnp.concatenate(o_parts, axis=-1)   # [G, n, d]
+    o3 = sum(o_parts) if masked_attn \
+        else jnp.concatenate(o_parts, axis=-1)   # [G, n, d]
     o2 = o3.reshape(N, d)
     z = jnp.dot(o2, wout, preferred_element_type=F32)
     if use_drop:
@@ -514,34 +623,11 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
 
     # All grads stay on the grouped [G, n, *] shapes: S is exactly zero off
     # the example-diagonal blocks, so full-matrix contractions are correct.
-    dqn_parts, dkn_parts, dv_parts = [], [], []
-    for hd in range(head_num):
-        sl = slice(hd * dh, (hd + 1) * dh)
-        do_h = do3[..., sl]
-        vh = v3[..., sl]
-        s = s_list[hd]
-        sm = sm_list[hd]
-        # dS_used[g,i,j] = sum_c do[g,i,c] v[g,j,c]
-        ds_used = jax.lax.dot_general(do_h, vh, (((2,), (2,)), ((0,), (0,))),
-                                      preferred_element_type=F32)
-        # dV_h[g,j,c] = sum_i sm[g,i,j] do[g,i,c]
-        dvh = jax.lax.dot_general(sm, do_h, (((1,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=F32)
-        dv_parts.append(dvh)
-        ds = ds_used * m_s[hd] if use_drop else ds_used
-        da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
-        # q3 carries the 1/sqrt(dh) scale, so da needs none: dkh contracts
-        # against the scaled q3 and dqn is unscaled after the concat below
-        qh, kh = q3[..., sl], k3[..., sl]
-        dqh = jax.lax.dot_general(da, kh, (((2,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=F32)
-        dkh = jax.lax.dot_general(da, qh, (((1,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=F32)
-        dqn_parts.append(dqh)
-        dkn_parts.append(dkh)
-    dqn = jnp.concatenate(dqn_parts, axis=-1).reshape(TB, F_, d) * scale
-    dkn = jnp.concatenate(dkn_parts, axis=-1).reshape(TB, F_, d)
-    dv3 = jnp.concatenate(dv_parts, axis=-1)
+    dq3, dk3, dv3 = _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list,
+                                    m_s if use_drop else None, use_drop,
+                                    head_num, dh)
+    dqn = dq3.reshape(TB, F_, d) * scale
+    dkn = dk3.reshape(TB, F_, d)
 
     # meta/LN backward for Q and K paths (shared LN + shared meta weights).
     # hm = relu(t0@w1cat)*mask is zero outside each row's domain block, so
@@ -687,30 +773,13 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
     do3 = do2.reshape(groups, n_attn, d)
 
-    dqn_parts, dkn_parts, dv_parts = [], [], []
-    for hd in range(head_num):
-        sl = slice(hd * dh, (hd + 1) * dh)
-        do_h = do3[..., sl]
-        vh = v3[..., sl]
-        s = s_list[hd]
-        sm = sm_list[hd]
-        ds_used = jax.lax.dot_general(do_h, vh, (((2,), (2,)), ((0,), (0,))),
-                                      preferred_element_type=F32)
-        dvh = jax.lax.dot_general(sm, do_h, (((1,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=F32)
-        dv_parts.append(dvh)
-        ds = ds_used * m_s[hd] if use_drop else ds_used
-        da = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
-        qh, kh = q3[..., sl], k3[..., sl]
-        dqh = jax.lax.dot_general(da, kh, (((2,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=F32)
-        dkh = jax.lax.dot_general(da, qh, (((1,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=F32)
-        dqn_parts.append(dqh)
-        dkn_parts.append(dkh)
-    dqn = jnp.concatenate(dqn_parts, axis=-1).reshape(TB, F_, d) * scale
-    dkn = jnp.concatenate(dkn_parts, axis=-1).reshape(TB, F_, d)
-    dv3 = jnp.concatenate(dv_parts, axis=-1)
+    # All grads stay on the grouped [G, n, *] shapes: S is exactly zero off
+    # the example-diagonal blocks, so full-matrix contractions are correct.
+    dq3, dk3, dv3 = _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list,
+                                    m_s if use_drop else None, use_drop,
+                                    head_num, dh)
+    dqn = dq3.reshape(TB, F_, d) * scale
+    dkn = dk3.reshape(TB, F_, d)
 
     def meta_bwd(dyn, xhat, inv, t0, hm, y_mask):
         dls = jnp.sum(dyn * xhat, axis=0)

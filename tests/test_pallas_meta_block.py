@@ -412,3 +412,28 @@ def test_fused_vjp_bf16_stash_grads():
         g, w = np.asarray(got), np.asarray(want)
         relnorm = np.linalg.norm(g - w) / np.linalg.norm(w)
         assert relnorm < 2e-2, (name, relnorm)
+
+
+def test_masked_attn_variant_matches_slice(monkeypatch):
+    """The masked-head attention (full-width GEMMs with 0/1 lane masks -
+    the TPU default after the r3 A/B) must match the lane-slice variant to
+    f32 contraction-order noise, forward AND gradients, in both backward
+    modes."""
+    x, params, tables, dom, onehot, units, H = _setup(B=32)
+
+    def loss(x, bwd):
+        y = meta_block.fused_meta_layer_vjp(
+            x, params, tables, onehot, meta_units=units, head_num=H,
+            train=False, block_b=16, interpret=True, bwd=bwd,
+            stash_dtype="f32")
+        return jnp.sum(jnp.sin(y))
+
+    for bwd in ("stash", "recompute"):
+        monkeypatch.setenv("SATRANS_ATTN", "slice")
+        want, gw = jax.value_and_grad(lambda x: loss(x, bwd))(x)
+        monkeypatch.setenv("SATRANS_ATTN", "masked")
+        got, gg = jax.value_and_grad(lambda x: loss(x, bwd))(x)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6,
+                                   err_msg=bwd)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=1e-4, atol=1e-6, err_msg=bwd)
