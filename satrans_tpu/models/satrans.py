@@ -38,6 +38,7 @@ satrans.py:167-171/225-234), ``gate``, ``bilinear``, ``onlyemb``, ``relu``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import jax
@@ -86,7 +87,9 @@ class SATrans:
     # None = auto (on for the QK/metanet/single-column sota shape on TPU),
     # True/False forces. Falls back transparently when unsupported.
     use_fused_kernel: bool | None = None
-    fused_block_b: int = 128
+    # 128 measured best on v5e under both attention variants
+    # (docs/PERFORMANCE.md); env SATRANS_BLOCK_B overrides for sweeps.
+    fused_block_b: int = int(os.environ.get("SATRANS_BLOCK_B", "128"))
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     def __post_init__(self):
