@@ -118,7 +118,24 @@ def combine_duplicate_rows(ids, g):
     return rep, summed, valid
 
 
-def eqgemm_combine(ids_fb, g_fb, shared_rows=()):
+def _eqgemm_impl() -> str:
+    """Which equality-GEMM computes the per-position duplicate sums.
+
+    ``pallas`` (TPU default): ops/pallas/eqgemm.py builds the equality
+    tiles in VMEM and runs ONE bf16 MXU pass - the XLA einsum materializes
+    the [F, B, B] matrix in HBM (1.3 GB at headline shapes) and is bound by
+    that traffic, and on TPU it is ALSO a single bf16 pass (default f32 dot
+    precision), so the kernel changes no error class.  ``xla``: the einsum
+    (CPU default - exact f32 there).  ``interpret``: the kernel in
+    interpret mode (CPU tests).  Env ``SATRANS_EQGEMM`` overrides.
+    """
+    mode = os.environ.get("SATRANS_EQGEMM", "auto")
+    if mode in ("xla", "pallas", "interpret"):
+        return mode
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def eqgemm_combine(ids_fb, g_fb, shared_rows=(), impl: str | None = None):
     """Duplicate-summed gradients per POSITION via per-field equality GEMMs.
 
     ``ids_fb`` int32 ``[F, B]`` physical row ids (each field's ids are drawn
