@@ -14,12 +14,15 @@ their dot products are the same computation at any precision; boundary-shared
 rows are overwritten with one exact f32 total regardless.
 
 Variants timed at the headline shapes (large AliCCP fields, B=8192, W=128):
-  f32_default   - what lazy mode runs today (jnp default precision)
+  f32_default   - the XLA einsum (jnp default precision)
   f32_highest   - 6-pass reference (also the accuracy reference)
-  onepass_bf16  - e bf16 @ g bf16 (accuracy floor, not a candidate)
+  onepass_bf16  - e bf16 @ g bf16 einsum (the kernel's error class)
   twopass_split - e bf16 @ (g_hi + g_lo), two 1-pass GEMMs
+  pallas_kernel - ops/pallas/eqgemm.eqgemm_positions: equality tiles built
+                  in VMEM, one bf16 MXU pass, NO [F,B,B] HBM tensor
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -m satrans_tpu.bench.eqgemm_probe
+Artifact: bench_results/eqgemm_probe_v5e_r4.json
 """
 
 import json
@@ -98,19 +101,26 @@ def main():
         return s + jnp.einsum("fij,fjw->fiw", e, lo,
                               preferred_element_type=jnp.float32)
 
+    from satrans_tpu.ops.pallas import eqgemm as eqk
+
+    def pallas_kernel(i_, g_):
+        return eqk.eqgemm_positions(i_, g_)
+
     out = {"F": F, "B": B, "W": W, "reps_in_jit": REPS,
            "device": str(jax.devices()[0]).split(":")[0]}
     out["f32_default_ms"] = timed("f32_default", combine(None))
     out["f32_highest_ms"] = timed("f32_highest", combine("highest"))
     out["onepass_bf16_ms"] = timed("onepass_bf16", onepass_bf16)
     out["twopass_split_ms"] = timed("twopass_split", twopass_split)
+    out["pallas_kernel_ms"] = timed("pallas_kernel", pallas_kernel)
 
     # accuracy vs the 6-pass reference, plus the bit-identity check
     ref = jax.jit(combine("highest"))(ids_d, g_d)
     scale = float(jnp.max(jnp.abs(ref)))
     for name, fn in [("f32_default", combine(None)),
                      ("onepass_bf16", onepass_bf16),
-                     ("twopass_split", twopass_split)]:
+                     ("twopass_split", twopass_split),
+                     ("pallas_kernel", pallas_kernel)]:
         v = jax.jit(fn)(ids_d, g_d)
         err = float(jnp.max(jnp.abs(v - ref))) / scale
         out[f"{name}_relerr"] = err

@@ -121,18 +121,23 @@ def combine_duplicate_rows(ids, g):
 def _eqgemm_impl() -> str:
     """Which equality-GEMM computes the per-position duplicate sums.
 
-    ``pallas`` (TPU default): ops/pallas/eqgemm.py builds the equality
-    tiles in VMEM and runs ONE bf16 MXU pass - the XLA einsum materializes
-    the [F, B, B] matrix in HBM (1.3 GB at headline shapes) and is bound by
-    that traffic, and on TPU it is ALSO a single bf16 pass (default f32 dot
-    precision), so the kernel changes no error class.  ``xla``: the einsum
-    (CPU default - exact f32 there).  ``interpret``: the kernel in
-    interpret mode (CPU tests).  Env ``SATRANS_EQGEMM`` overrides.
+    ``xla`` (default): the einsum - exact f32 on CPU, one bf16 MXU pass on
+    TPU (default f32 dot precision).  ``pallas``: ops/pallas/eqgemm.py
+    builds the equality tiles in VMEM (same bf16 error class, NO [F, B, B]
+    HBM tensor - 2.7 GB f32 at headline shapes).  Standalone the kernel
+    wins (2.58 vs 2.97 ms, bench_results/eqgemm_probe_v5e_r4.json) but the
+    end-to-end lazy step showed NO win in a 2x2 A/B on v5e (xla 315.7k /
+    316.5k ex/s vs pallas 314.6k / 315.2k - XLA overlaps the einsum with
+    the surrounding update chain, the opaque kernel serializes), so per
+    the measured-win rule the default stays ``xla``; the kernel remains
+    the memory-headroom option for batch shapes where the einsum's HBM
+    tensor would not fit.  ``interpret``: the kernel in interpret mode
+    (CPU tests).  Env ``SATRANS_EQGEMM`` overrides.
     """
     mode = os.environ.get("SATRANS_EQGEMM", "auto")
     if mode in ("xla", "pallas", "interpret"):
         return mode
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "xla"
 
 
 def eqgemm_combine(ids_fb, g_fb, shared_rows=(), impl: str | None = None):
@@ -162,9 +167,21 @@ def eqgemm_combine(ids_fb, g_fb, shared_rows=(), impl: str | None = None):
     fields agree exactly (not just up to f32 summation order).
 
     ``shared_rows``: static list of ``(phys_row, [field_idx, ...])``.
+
+    ``impl``: ``None`` resolves via :func:`_eqgemm_impl` (env
+    ``SATRANS_EQGEMM``; TPU default ``pallas``).  The Pallas kernel
+    (ops/pallas/eqgemm.py) computes the same per-field sums without
+    materializing the ``[F, B, B]`` equality tensor in HBM; the shared-row
+    overwrite below runs in exact f32 either way.
     """
-    e = (ids_fb[:, :, None] == ids_fb[:, None, :])
-    s = jnp.einsum("fij,fjw->fiw", e.astype(g_fb.dtype), g_fb)
+    impl = impl or _eqgemm_impl()
+    if impl in ("pallas", "interpret"):
+        from .ops.pallas import eqgemm as _eq
+        s = _eq.eqgemm_positions(ids_fb, g_fb,
+                                 interpret=impl == "interpret")
+    else:
+        e = (ids_fb[:, :, None] == ids_fb[:, None, :])
+        s = jnp.einsum("fij,fjw->fiw", e.astype(g_fb.dtype), g_fb)
     for row, fields in shared_rows:
         fi = jnp.asarray(list(fields))
         mask = ids_fb[fi] == row                       # [k, B]

@@ -15,16 +15,26 @@ block, which stays resident in VMEM across the field's row tiles (its block
 index only changes with the field index, so the Pallas pipeline does not
 re-fetch it).  HBM traffic drops to ids + g + s.
 
+Status (round-4 measurement): standalone the kernel beats the einsum
+(2.58 vs 2.97 ms) but end-to-end the lazy step shows NO win (xla 315.7k/
+316.5k vs pallas 314.6k/315.2k ex/s, 2x2 A/B on v5e) - XLA overlaps the
+einsum with the neighboring update ops while the opaque pallas_call
+serializes.  Default is therefore ``xla`` (embeddings._eqgemm_impl);
+``SATRANS_EQGEMM=pallas`` opts in where the [F, B, B] HBM tensor is the
+binding constraint.
+
 Numerics: the contraction runs as ONE bf16 MXU pass with f32 accumulation -
 byte-for-byte the error class of what the XLA path already does on TPU,
 where the default f32 dot is a single bf16 pass (measured identical max
-rel err 1.4e-3 vs a 6-pass reference, bench_results/eqgemm_probe_v5e_r3).
+rel err 1.369e-3 vs a 6-pass reference for BOTH paths,
+bench_results/eqgemm_probe_v5e_r4.json; kernel 2.58 ms vs XLA einsum
+2.97 ms at the headline shape, with zero HBM equality tensor vs 2.7 GB).
 The CPU/XLA fallback keeps exact f32.  The row-DMA scatter's bit-identity
 precondition is precision-INDEPENDENT here: duplicate positions i1, i2 of
 one field have identical equality rows, and every output row contracts the
 full j range in the same subtile order, so their dots are the same
-computation -> byte-identical results (asserted by the probe and
-tests/test_pallas_eqgemm.py).
+computation -> byte-identical results (asserted on hardware by the probe
+and in interpret mode by tests/test_pallas_eqgemm.py).
 
 Reference context: the reference has no combine at all - its embedding
 update is torch's dense per-table Adam (basemodel.py:519-535); the combine
