@@ -233,11 +233,13 @@ class SATrans:
                     blk = cand
                     break
             # What the kernel supports: single scenario column, metanet
-            # variant, QK mode, shared (non-pos) MetaNet, no relu-out, a
-            # 2-matrix MetaNet ([d, h, d] units), no score return. bf16 is
-            # fine (f32 internals; only layer boundaries narrow).
+            # variant, QK mode (shared AND 'pos' per-(layer,qkv) tables -
+            # the kernel carries separate Q/K MetaNet weights+LNs), no
+            # relu-out, a 2-matrix MetaNet ([d, h, d] units), no score
+            # return.  bf16 is fine (f32 internals; only layer boundaries
+            # narrow).
             supported = (single_col and self.variant == "metanet"
-                         and self.meta_mode == "QK" and not self.use_pos
+                         and self.meta_mode == "QK"
                          and not self.relu_out and not return_scores
                          and len(self.meta_units) == 3
                          and blk is not None

@@ -310,13 +310,20 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
     return o, s_keep
 
 
-def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
-                 lnq_ref, wout_ref, lno_ref, mask_ref, *,
+def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
+                 lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
+                 mask_ref, *,
                  D: int, h: int, head_num: int, drop_rate: float, train: bool,
                  f_real: int | None, attn_cap: int | None):
     """Shared forward body.  Returns ``(y, qkv, uq, uk, s_keep, o)`` -
     the extras are the stash-mode residuals (``uq``/``uk`` are the pre-LN
-    sums, ``s_keep`` the PRE-dropout attention probabilities per head)."""
+    sums, ``s_keep`` the PRE-dropout attention probabilities per head).
+
+    Q and K carry SEPARATE MetaNet weights + LayerNorms (``w1q/w2q/lnq`` vs
+    ``w1k/w2k/lnk``): the 'pos' variant (reference satrans.py:44-47,
+    225-234) generates distinct per-(layer, qkv) meta params; the shared
+    (non-pos) case passes the same arrays twice and autodiff outside the
+    custom-vjp boundary sums the two gradient paths."""
     TB, F_, d = x_ref.shape
     if train and drop_rate > 0.0:
         _prng_seed(seed_ref[0] + pl.program_id(0))
@@ -330,17 +337,17 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     qkv = jnp.dot(x2, wqkv_ref[:], preferred_element_type=F32)  # [N, 3d]
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-    yq, _ = _meta_apply(q0, w1cat_ref[:], w2cat_ref[:], onehot_rows, D, h, d)
+    yq, _ = _meta_apply(q0, w1q_ref[:], w2q_ref[:], onehot_rows, D, h, d)
     if train and drop_rate > 0.0:
         yq = yq * _dropout_mask(yq.shape, drop_rate)
     uq = yq + q0
     qn, _, _ = _layer_norm_fwd(uq, lnq_ref[0], lnq_ref[1])
 
-    yk, _ = _meta_apply(k0, w1cat_ref[:], w2cat_ref[:], onehot_rows, D, h, d)
+    yk, _ = _meta_apply(k0, w1k_ref[:], w2k_ref[:], onehot_rows, D, h, d)
     if train and drop_rate > 0.0:
         yk = yk * _dropout_mask(yk.shape, drop_rate)
     uk = yk + k0
-    kn, _, _ = _layer_norm_fwd(uk, lnq_ref[0], lnq_ref[1])
+    kn, _, _ = _layer_norm_fwd(uk, lnk_ref[0], lnk_ref[1])
 
     o, s_keep = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
                            v0.reshape(TB, F_, d), head_num, F_, d,
@@ -355,19 +362,22 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     return y, qkv, uq, uk, s_keep, o
 
 
-def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
-                lnq_ref, wout_ref, lno_ref, mask_ref, out_ref, *,
+def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
+                lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
+                mask_ref, out_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
                 f_real: int | None = None, attn_cap: int | None = None):
-    y, *_ = _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
-                         w2cat_ref, lnq_ref, wout_ref, lno_ref, mask_ref,
+    y, *_ = _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
+                         w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
+                         wout_ref, lno_ref, mask_ref,
                          D=D, h=h, head_num=head_num, drop_rate=drop_rate,
                          train=train, f_real=f_real, attn_cap=attn_cap)
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
-                      w2cat_ref, lnq_ref, wout_ref, lno_ref, mask_ref,
+def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
+                      w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
+                      wout_ref, lno_ref, mask_ref,
                       out_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref, *,
                       D: int, h: int, head_num: int, drop_rate: float,
                       train: bool, f_real: int | None = None,
@@ -377,8 +387,9 @@ def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     ~2x in skipped backward recompute on v5e (docs/PERFORMANCE.md r2)."""
     TB, F_, d = x_ref.shape
     y, qkv, uq, uk, s_keep, o = _fwd_compute(
-        seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref, lnq_ref,
-        wout_ref, lno_ref, mask_ref, D=D, h=h, head_num=head_num,
+        seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref, lnq_ref,
+        w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref, mask_ref,
+        D=D, h=h, head_num=head_num,
         drop_rate=drop_rate, train=train, f_real=f_real, attn_cap=attn_cap)
     out_ref[:] = y.astype(out_ref.dtype)
     qkv_ref[:] = qkv.reshape(TB, F_, 3 * d).astype(qkv_ref.dtype)
@@ -389,6 +400,32 @@ def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     o_ref[:] = o.astype(o_ref.dtype)
 
 
+def _pack_meta(meta_tables, key: str, d: int, h: int, D: int):
+    """[D, P] flat per-domain params -> ([d, D*h], [D*h, d]) wide GEMMs.
+    A missing 'K' falls back to 'Q' (shared non-pos semantics)."""
+    P = d * h + h * d
+    flat = meta_tables.get(key, meta_tables["Q"])[:, :P]
+    w1 = flat[:, : d * h].reshape(D, d, h)
+    w2 = flat[:, d * h:].reshape(D, h, d)
+    w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
+    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=0)
+    return w1cat, w2cat
+
+
+def _pack_lns(layer_params, d: int):
+    """(lnq [2, d], lnk [2, d]): K falls back to Q's MetaNet LayerNorm when
+    there is no separate 'k_meta' (the shared non-pos case, reference
+    satrans.py:44-47) - then lnk IS lnq and autodiff sums both paths."""
+    default = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+    lnq_p = layer_params.get("q_meta", {}).get("ln", default)
+    lnk_p = layer_params.get("k_meta",
+                             layer_params.get("q_meta", {})).get("ln", lnq_p)
+    lnq = jnp.stack([lnq_p["scale"], lnq_p["bias"]])
+    lnk = lnq if lnk_p is lnq_p else jnp.stack([lnk_p["scale"],
+                                                lnk_p["bias"]])
+    return lnq, lnk
+
+
 def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
                      meta_units, head_num: int, drop_rate: float = 0.1,
                      train: bool = False, seed: int = 0,
@@ -396,25 +433,19 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
     """Forward of one meta-transformer layer (QK mode, dense-select).
 
     x: [B, F, d] fp32; layer_params: dict from attention.meta_transformer_init
-    (metanet variant); meta_tables: {'Q': [D, P]} flat per-domain params (Q/K
-    share, non-pos); domain_onehot: [B, D].
+    (metanet variant); meta_tables: {'Q': [D, P], 'K': [D, P]} flat
+    per-domain params (the same array for both in the shared non-pos case;
+    distinct per (layer, qkv) under 'pos'); domain_onehot: [B, D].
     """
     B, F_, d = x.shape
     D = domain_onehot.shape[1]
     h = meta_units[1]
-    P = d * h + h * d
 
-    flat = meta_tables["Q"][:, :P]
-    w1 = flat[:, : d * h].reshape(D, d, h)
-    w2 = flat[:, d * h:].reshape(D, h, d)
-    # [d, D*h] / [h, D*d] concatenations for the wide GEMMs
-    w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
-    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=0)
+    w1q, w2q = _pack_meta(meta_tables, "Q", d, h, D)
+    w1k, w2k = _pack_meta(meta_tables, "K", d, h, D)
     wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
                             layer_params["wv"]], axis=1)
-    lnq_p = layer_params.get("q_meta", {}).get(
-        "ln", {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))})
-    lnq = jnp.stack([lnq_p["scale"], lnq_p["bias"]])
+    lnq, lnk = _pack_lns(layer_params, d)
     lno = jnp.stack([layer_params["ln"]["scale"], layer_params["ln"]["bias"]])
 
     if B % block_b:
@@ -433,17 +464,7 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
-                in_specs=[
-                    pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
-                    pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-                    pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec(mask.shape, lambda i, *_: (0, 0, 0)),
-                ],
+                in_specs=_common_in_specs(block_b, F_, d, D, h, mask.shape),
                 out_specs=pl.BlockSpec((block_b, F_, d),
                                        lambda i, *_: (i, 0, 0)),
             ),
@@ -451,8 +472,8 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1cat, w2cat, lnq,
-          layer_params["wout"], lno, mask)
+        )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1q, w2q, lnq,
+          w1k, w2k, lnk, layer_params["wout"], lno, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -520,10 +541,11 @@ def _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list, m_s, use_drop,
 
 
 
-def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
-                lnq_ref, wout_ref, lno_ref, mask_ref, g_ref,
-                dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
-                dwout_ref, dlno_ref, *,
+def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
+                lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
+                mask_ref, g_ref,
+                dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
+                dw1k_ref, dw2k_ref, dlnk_ref, dwout_ref, dlno_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
                 f_real: int | None = None, attn_cap: int | None = None):
     TB, F_, d = x_ref.shape
@@ -548,8 +570,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     onehot_rows = jnp.broadcast_to(onehot[:, None, :],
                                    (TB, F_, onehot.shape[1])
                                    ).reshape(N, onehot.shape[1])
-    w1cat = w1cat_ref[:]
-    w2cat = w2cat_ref[:]
+    w1q, w2q = w1q_ref[:], w2q_ref[:]
+    w1k, w2k = w1k_ref[:], w2k_ref[:]
     wqkv = wqkv_ref[:]
     wout = wout_ref[:]
 
@@ -557,17 +579,14 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     qkv = jnp.dot(x2, wqkv, preferred_element_type=F32)
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-    def meta_fwd(t0):
-        return _meta_apply(t0, w1cat, w2cat, onehot_rows, D, h, d)
-
-    yq, hq = meta_fwd(q0)
+    yq, hq = _meta_apply(q0, w1q, w2q, onehot_rows, D, h, d)
     if use_drop:
         yq = yq * m_yq
     qn, xhat_q, inv_q = _layer_norm_fwd(yq + q0, lnq_ref[0], lnq_ref[1])
-    yk, hk = meta_fwd(k0)
+    yk, hk = _meta_apply(k0, w1k, w2k, onehot_rows, D, h, d)
     if use_drop:
         yk = yk * m_yk
-    kn, xhat_k, inv_k = _layer_norm_fwd(yk + k0, lnq_ref[0], lnq_ref[1])
+    kn, xhat_k, inv_k = _layer_norm_fwd(yk + k0, lnk_ref[0], lnk_ref[1])
 
     g_attn = _attn_group(TB, F_, attn_cap)
     groups = TB // g_attn
@@ -629,32 +648,17 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     dqn = dq3.reshape(TB, F_, d) * scale
     dkn = dk3.reshape(TB, F_, d)
 
-    # meta/LN backward for Q and K paths (shared LN + shared meta weights).
-    # hm = relu(t0@w1cat)*mask is zero outside each row's domain block, so
+    # meta/LN backward for the Q and K paths, each against its OWN meta
+    # weights + LayerNorm (shared case: same arrays, grads summed outside).
+    # hm = relu(t0@w1)*mask is zero outside each row's domain block, so
     # plain wide GEMMs give per-domain-correct grads with no select/fold
     # matmuls and no per-domain loop (see _meta_apply).
-    def meta_bwd(dyn, xhat, inv, t0, hm, y_mask):
-        """dyn/xhat/inv/t0 [N, d]; hm [N, D*h].
-        Returns (dt0, dW1cat [d, D*h], dW2stack [D*h, d], dls, dlb)."""
-        dls = jnp.sum(dyn * xhat, axis=0)
-        dlb = jnp.sum(dyn, axis=0)
-        duq = _layer_norm_bwd(dyn, xhat, inv, lnq_ref[0])
-        dy = duq * y_mask if y_mask is not None else duq
-        dt0 = duq  # residual branch
-        dhm = jnp.dot(dy, w2cat.T, preferred_element_type=F32)  # [N, D*h]
-        # d/dH0 of relu+mask: both fold into (hm > 0)
-        dh0 = dhm * (hm > 0).astype(F32)
-        dw2c = jnp.dot(hm.T, dy, preferred_element_type=F32)    # [D*h, d]
-        dw1c = jnp.dot(t0.T, dh0, preferred_element_type=F32)   # [d, D*h]
-        dt0 = dt0 + jnp.dot(dh0, w1cat.T, preferred_element_type=F32)
-        return dt0, dw1c, dw2c, dls, dlb
-
-    dq0, dw1c_q, dw2c_q, dls_q, dlb_q = meta_bwd(
+    dq0, dw1c_q, dw2c_q, dls_q, dlb_q = _meta_bwd(
         dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
-        m_yq if use_drop else None)
-    dk0, dw1c_k, dw2c_k, dls_k, dlb_k = meta_bwd(
+        m_yq if use_drop else None, w1q, w2q, lnq_ref[0])
+    dk0, dw1c_k, dw2c_k, dls_k, dlb_k = _meta_bwd(
         dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
-        m_yk if use_drop else None)
+        m_yk if use_drop else None, w1k, w2k, lnk_ref[0])
 
     dqkv = jnp.concatenate([dq0, dk0, dv3.reshape(N, d)], axis=1)  # [N, 3d]
     dwqkv = jnp.dot(x2.T, dqkv, preferred_element_type=F32)
@@ -667,26 +671,67 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref, w2cat_ref,
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
-        dw1cat_ref[:] = jnp.zeros_like(dw1cat_ref)
-        dw2cat_ref[:] = jnp.zeros_like(dw2cat_ref)
+        dw1q_ref[:] = jnp.zeros_like(dw1q_ref)
+        dw2q_ref[:] = jnp.zeros_like(dw2q_ref)
         dlnq_ref[:] = jnp.zeros_like(dlnq_ref)
+        dw1k_ref[:] = jnp.zeros_like(dw1k_ref)
+        dw2k_ref[:] = jnp.zeros_like(dw2k_ref)
+        dlnk_ref[:] = jnp.zeros_like(dlnk_ref)
         dwout_ref[:] = jnp.zeros_like(dwout_ref)
         dlno_ref[:] = jnp.zeros_like(dlno_ref)
 
     dwqkv_ref[:] += dwqkv
-    dw1cat_ref[:] += dw1c_q + dw1c_k
-    dw2cat_ref[:] += dw2c_q + dw2c_k
-    dlnq_ref[0] += dls_q + dls_k
-    dlnq_ref[1] += dlb_q + dlb_k
+    dw1q_ref[:] += dw1c_q
+    dw2q_ref[:] += dw2c_q
+    dlnq_ref[0] += dls_q
+    dlnq_ref[1] += dlb_q
+    dw1k_ref[:] += dw1c_k
+    dw2k_ref[:] += dw2c_k
+    dlnk_ref[0] += dls_k
+    dlnk_ref[1] += dlb_k
     dwout_ref[:] += dwout
     dlno_ref[0] += dlno_s
     dlno_ref[1] += dlno_b
 
 
-def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
-                      w2cat_ref, lnq_ref, wout_ref, lno_ref, g_ref,
+def _bwd_ablate() -> frozenset:
+    """BENCH-ONLY knockout knob for the backward-interior ablation
+    (bench/bwd_ablation.py, VERDICT r3 weak #4): comma list env
+    ``SATRANS_BWD_ABLATE`` of stages to SKIP in the backward kernels -
+    'attn' (the per-head gradient contractions), 'meta_q'/'meta_k' (the
+    MetaNet+LN backward of that path), 'wqkv' (the input-projection grad
+    GEMMs), 'lnout' (the outer LayerNorm backward).  Outputs are
+    mathematically WRONG when non-empty; read at trace time, never set in
+    production paths (equality tests run with it unset)."""
+    v = os.environ.get("SATRANS_BWD_ABLATE", "")
+    return frozenset(s for s in v.split(",") if s)
+
+
+def _meta_bwd(dyn, xhat, inv, t0, hm, y_mask, w1, w2, ln_scale):
+    """MetaNet+LN backward for one projection path.
+
+    dyn/xhat/inv/t0 [N, d]; hm [N, D*h]; w1 [d, D*h]; w2 [D*h, d].
+    Returns (dt0, dW1 [d, D*h], dW2 [D*h, d], dls, dlb)."""
+    dls = jnp.sum(dyn * xhat, axis=0)
+    dlb = jnp.sum(dyn, axis=0)
+    duq = _layer_norm_bwd(dyn, xhat, inv, ln_scale)
+    dy = duq * y_mask if y_mask is not None else duq
+    dt0 = duq  # residual branch
+    dhm = jnp.dot(dy, w2.T, preferred_element_type=F32)   # [N, D*h]
+    # d/dH0 of relu+mask: both fold into (hm > 0)
+    dh0 = dhm * (hm > 0).astype(F32)
+    dw2c = jnp.dot(hm.T, dy, preferred_element_type=F32)  # [D*h, d]
+    dw1c = jnp.dot(t0.T, dh0, preferred_element_type=F32)  # [d, D*h]
+    dt0 = dt0 + jnp.dot(dh0, w1.T, preferred_element_type=F32)
+    return dt0, dw1c, dw2c, dls, dlb
+
+
+def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
+                      w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
+                      wout_ref, lno_ref, g_ref,
                       qkv_ref, uq_ref, uk_ref, s_ref, o_ref,
-                      dx_ref, dwqkv_ref, dw1cat_ref, dw2cat_ref, dlnq_ref,
+                      dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
+                      dw1k_ref, dw2k_ref, dlnk_ref,
                       dwout_ref, dlno_ref, *,
                       D: int, h: int, head_num: int, drop_rate: float,
                       train: bool, f_real: int | None = None,
@@ -721,8 +766,8 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     onehot_rows = jnp.broadcast_to(onehot[:, None, :],
                                    (TB, F_, onehot.shape[1])
                                    ).reshape(N, onehot.shape[1])
-    w1cat = w1cat_ref[:]
-    w2cat = w2cat_ref[:]
+    w1q, w2q = w1q_ref[:], w2q_ref[:]
+    w1k, w2k = w1k_ref[:], w2k_ref[:]
     wqkv = wqkv_ref[:]
     wout = wout_ref[:]
 
@@ -731,16 +776,16 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
     mask_rows = jnp.dot(onehot_rows, _expand_const(D, h),
                         preferred_element_type=F32)
-    hq = jax.nn.relu(jnp.dot(q0, w1cat, preferred_element_type=F32)) \
+    hq = jax.nn.relu(jnp.dot(q0, w1q, preferred_element_type=F32)) \
         * mask_rows
-    hk = jax.nn.relu(jnp.dot(k0, w1cat, preferred_element_type=F32)) \
+    hk = jax.nn.relu(jnp.dot(k0, w1k, preferred_element_type=F32)) \
         * mask_rows
     qn, xhat_q, inv_q = _layer_norm_fwd(uq_ref[:].reshape(N, d)
                                         .astype(F32),
                                         lnq_ref[0], lnq_ref[1])
     kn, xhat_k, inv_k = _layer_norm_fwd(uk_ref[:].reshape(N, d)
                                         .astype(F32),
-                                        lnq_ref[0], lnq_ref[1])
+                                        lnk_ref[0], lnk_ref[1])
 
     g_attn = _attn_group(TB, F_, attn_cap)
     groups = TB // g_attn
@@ -761,10 +806,12 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
     _, xhat_o, inv_o = _layer_norm_fwd(u, lno_ref[0], lno_ref[1])
 
     # ---- backward (same math as _bwd_kernel) ----
+    ablate = _bwd_ablate()  # bench-only knockouts, empty in production
     g = g_ref[:].astype(F32)
     dlno_s = jnp.sum(g * xhat_o, axis=(0, 1))
     dlno_b = jnp.sum(g, axis=(0, 1))
-    du = _layer_norm_bwd(g, xhat_o, inv_o, lno_ref[0])
+    du = g if "lnout" in ablate \
+        else _layer_norm_bwd(g, xhat_o, inv_o, lno_ref[0])
     dx = du  # residual
     dz = du.reshape(N, d)
     if use_drop:
@@ -775,53 +822,65 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1cat_ref,
 
     # All grads stay on the grouped [G, n, *] shapes: S is exactly zero off
     # the example-diagonal blocks, so full-matrix contractions are correct.
-    dq3, dk3, dv3 = _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list,
-                                    m_s if use_drop else None, use_drop,
-                                    head_num, dh)
+    if "attn" in ablate:
+        dq3 = dk3 = dv3 = do3
+    else:
+        dq3, dk3, dv3 = _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list,
+                                        m_s if use_drop else None, use_drop,
+                                        head_num, dh)
     dqn = dq3.reshape(TB, F_, d) * scale
     dkn = dk3.reshape(TB, F_, d)
 
-    def meta_bwd(dyn, xhat, inv, t0, hm, y_mask):
-        dls = jnp.sum(dyn * xhat, axis=0)
-        dlb = jnp.sum(dyn, axis=0)
-        duq = _layer_norm_bwd(dyn, xhat, inv, lnq_ref[0])
-        dy = duq * y_mask if y_mask is not None else duq
-        dt0 = duq  # residual branch
-        dhm = jnp.dot(dy, w2cat.T, preferred_element_type=F32)
-        dh0 = dhm * (hm > 0).astype(F32)
-        dw2c = jnp.dot(hm.T, dy, preferred_element_type=F32)
-        dw1c = jnp.dot(t0.T, dh0, preferred_element_type=F32)
-        dt0 = dt0 + jnp.dot(dh0, w1cat.T, preferred_element_type=F32)
-        return dt0, dw1c, dw2c, dls, dlb
+    if "meta_q" in ablate:
+        dq0 = dqn.reshape(N, d)
+        dw1c_q = jnp.zeros((d, w1q.shape[1]), F32)
+        dw2c_q = jnp.zeros((w2q.shape[0], d), F32)
+        dls_q = dlb_q = jnp.zeros((d,), F32)
+    else:
+        dq0, dw1c_q, dw2c_q, dls_q, dlb_q = _meta_bwd(
+            dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
+            m_yq if use_drop else None, w1q, w2q, lnq_ref[0])
+    if "meta_k" in ablate:
+        dk0 = dkn.reshape(N, d)
+        dw1c_k = jnp.zeros((d, w1k.shape[1]), F32)
+        dw2c_k = jnp.zeros((w2k.shape[0], d), F32)
+        dls_k = dlb_k = jnp.zeros((d,), F32)
+    else:
+        dk0, dw1c_k, dw2c_k, dls_k, dlb_k = _meta_bwd(
+            dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
+            m_yk if use_drop else None, w1k, w2k, lnk_ref[0])
 
-    dq0, dw1c_q, dw2c_q, dls_q, dlb_q = meta_bwd(
-        dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
-        m_yq if use_drop else None)
-    dk0, dw1c_k, dw2c_k, dls_k, dlb_k = meta_bwd(
-        dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
-        m_yk if use_drop else None)
-
-    dqkv = jnp.concatenate([dq0, dk0, dv3.reshape(N, d)], axis=1)
-    dwqkv = jnp.dot(x2.T, dqkv, preferred_element_type=F32)
-    dx = dx + jnp.dot(dqkv, wqkv.T,
-                      preferred_element_type=F32).reshape(TB, F_, d)
+    if "wqkv" in ablate:
+        dwqkv = jnp.zeros((d, 3 * d), F32)
+    else:
+        dqkv = jnp.concatenate([dq0, dk0, dv3.reshape(N, d)], axis=1)
+        dwqkv = jnp.dot(x2.T, dqkv, preferred_element_type=F32)
+        dx = dx + jnp.dot(dqkv, wqkv.T,
+                          preferred_element_type=F32).reshape(TB, F_, d)
 
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
-        dw1cat_ref[:] = jnp.zeros_like(dw1cat_ref)
-        dw2cat_ref[:] = jnp.zeros_like(dw2cat_ref)
+        dw1q_ref[:] = jnp.zeros_like(dw1q_ref)
+        dw2q_ref[:] = jnp.zeros_like(dw2q_ref)
         dlnq_ref[:] = jnp.zeros_like(dlnq_ref)
+        dw1k_ref[:] = jnp.zeros_like(dw1k_ref)
+        dw2k_ref[:] = jnp.zeros_like(dw2k_ref)
+        dlnk_ref[:] = jnp.zeros_like(dlnk_ref)
         dwout_ref[:] = jnp.zeros_like(dwout_ref)
         dlno_ref[:] = jnp.zeros_like(dlno_ref)
 
     dwqkv_ref[:] += dwqkv
-    dw1cat_ref[:] += dw1c_q + dw1c_k
-    dw2cat_ref[:] += dw2c_q + dw2c_k
-    dlnq_ref[0] += dls_q + dls_k
-    dlnq_ref[1] += dlb_q + dlb_k
+    dw1q_ref[:] += dw1c_q
+    dw2q_ref[:] += dw2c_q
+    dlnq_ref[0] += dls_q
+    dlnq_ref[1] += dlb_q
+    dw1k_ref[:] += dw1c_k
+    dw2k_ref[:] += dw2c_k
+    dlnk_ref[0] += dls_k
+    dlnk_ref[1] += dlb_k
     dwout_ref[:] += dwout
     dlno_ref[0] += dlno_s
     dlno_ref[1] += dlno_b
@@ -839,11 +898,14 @@ def _common_in_specs(block_b, F_, d, D, h, mask_shape=None):
         pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
         pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
-        pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-        pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-        pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
-        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),    # w1q
+        pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),    # w2q
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),        # lnq
+        pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),    # w1k
+        pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),    # w2k
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),        # lnk
+        pl.BlockSpec((d, d), lambda i, *_: (0, 0)),        # wout
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),        # lno
     ]
     if mask_shape is not None:
         specs.append(pl.BlockSpec(mask_shape, lambda i, *_: (0, 0, 0)))
@@ -878,7 +940,8 @@ def _stash_specs(B, block_b, F_, d, head_num, g_att, dtype=F32):
     return shapes, specs
 
 
-def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
+def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
+              seed, cfg):
     """Forward kernel dispatch.  With ``cfg.stash`` returns
     ``(y, qkv, uq, uk, s, o)``; otherwise just ``y``."""
     B, F_, d = x.shape
@@ -914,11 +977,12 @@ def _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, mask)
+        )(seed, onehot, x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
+          mask)
 
 
-def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
-              stash_res=None):
+def _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
+              seed, g, cfg, stash_res=None):
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
      attn_cap, stash, _stash_dtype) = cfg
@@ -929,13 +993,14 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
     g_att = _attn_group(block_b, F_, attn_cap)
     if stash:
         in_specs = _common_in_specs(block_b, F_, d, D, h)
-        operands = [seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno, g]
+        operands = [seed, onehot, x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
+                    wout, lno, g]
     else:
         mask = _block_mask(block_b // g_att, g_att, F_,
                            f_real if f_real is not None else F_)
         in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
-        operands = [seed, onehot, x, wqkv, w1cat, w2cat, lnq, wout, lno,
-                    mask, g]
+        operands = [seed, onehot, x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
+                    wout, lno, mask, g]
     in_specs.append(pl.BlockSpec((block_b, F_, d),
                                  lambda i, *_: (i, 0, 0)))  # g
     if stash:
@@ -945,9 +1010,12 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
     out_shapes = (
         jax.ShapeDtypeStruct((B, F_, d), x.dtype),        # dx
         jax.ShapeDtypeStruct((d, 3 * d), F32),            # dwqkv
-        jax.ShapeDtypeStruct((d, D * h), F32),            # dw1cat
-        jax.ShapeDtypeStruct((D * h, d), F32),            # dw2cat
+        jax.ShapeDtypeStruct((d, D * h), F32),            # dw1q
+        jax.ShapeDtypeStruct((D * h, d), F32),            # dw2q
         jax.ShapeDtypeStruct((2, d), F32),                # dlnq
+        jax.ShapeDtypeStruct((d, D * h), F32),            # dw1k
+        jax.ShapeDtypeStruct((D * h, d), F32),            # dw2k
+        jax.ShapeDtypeStruct((2, d), F32),                # dlnk
         jax.ShapeDtypeStruct((d, d), F32),                # dwout
         jax.ShapeDtypeStruct((2, d), F32),                # dlno
     )
@@ -964,6 +1032,9 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
                     pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
                     pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
                     pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
+                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                     pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
                     pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
                 ),
@@ -975,29 +1046,34 @@ def _bwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
         )(*operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _fused_layer(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
+def _fused_layer(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
+                 seed, cfg):
     # primal (no grad requested -> eval/serving): never stash - the
     # residuals would be written and read by nobody
-    return _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed,
-                     cfg[:9] + (False,) + cfg[10:])
+    return _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
+                     onehot, seed, cfg[:9] + (False,) + cfg[10:])
 
 
-def _fused_layer_fwd(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg):
-    out = _fwd_call(x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, cfg)
+def _fused_layer_fwd(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
+                     onehot, seed, cfg):
+    out = _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
+                    onehot, seed, cfg)
     if cfg[9]:
         y, *stash_res = out
-        return y, (x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed,
-                   tuple(stash_res))
-    return out, (x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, None)
+        return y, (x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
+                   onehot, seed, tuple(stash_res))
+    return out, (x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
+                 onehot, seed, None)
 
 
 def _fused_layer_bwd(cfg, res, g):
-    x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, stash_res = res
-    dx, dwqkv, dw1cat, dw2cat, dlnq, dwout, dlno = _bwd_call(
-        x, wqkv, w1cat, w2cat, lnq, wout, lno, onehot, seed, g, cfg,
-        stash_res=stash_res)
-    return (dx, dwqkv, dw1cat, dw2cat, dlnq, dwout, dlno,
+    (x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot, seed,
+     stash_res) = res
+    (dx, dwqkv, dw1q, dw2q, dlnq, dw1k, dw2k, dlnk, dwout,
+     dlno) = _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
+                       onehot, seed, g, cfg, stash_res=stash_res)
+    return (dx, dwqkv, dw1q, dw2q, dlnq, dw1k, dw2k, dlnk, dwout, dlno,
             jnp.zeros_like(onehot), jnp.zeros_like(seed))
 
 
@@ -1021,21 +1097,20 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     to HBM and the backward skips the flash-style recompute;
     ``'recompute'`` is the round-1 behavior (backward regenerates the
     forward internals).  Same math either way - both backward kernels are
-    pinned to the XLA reference by tests."""
+    pinned to the XLA reference by tests.
+
+    'pos' support: ``meta_tables['Q']``/``['K']`` may be DISTINCT [D, P]
+    arrays (per-(layer, qkv) params, reference satrans.py:225-234) and
+    ``layer_params`` may carry a separate ``k_meta`` LayerNorm; the shared
+    case packs the same arrays twice and autodiff sums the two paths."""
     B, F_, d = x.shape
     D = domain_onehot.shape[1]
     h = meta_units[1]
-    P = d * h + h * d
-    flat = meta_tables["Q"][:, :P]
-    w1 = flat[:, : d * h].reshape(D, d, h)
-    w2 = flat[:, d * h:].reshape(D, h, d)
-    w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
-    w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=0)
+    w1q, w2q = _pack_meta(meta_tables, "Q", d, h, D)
+    w1k, w2k = _pack_meta(meta_tables, "K", d, h, D)
     wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
                             layer_params["wv"]], axis=1)
-    lnq_p = layer_params.get("q_meta", {}).get(
-        "ln", {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))})
-    lnq = jnp.stack([lnq_p["scale"], lnq_p["bias"]])
+    lnq, lnk = _pack_lns(layer_params, d)
     lno = jnp.stack([layer_params["ln"]["scale"], layer_params["ln"]["bias"]])
     # pad the field axis to a sublane multiple - odd F (19) provokes very
     # slow Mosaic relayout codegen; padded key columns are softmax-masked.
@@ -1065,7 +1140,7 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
            f_real if pad_f else None, attn_cap, bwd == "stash",
            jnp.bfloat16 if stash_dtype == "bf16" else F32)
     seed_arr = jnp.asarray([seed], jnp.int32)
-    y = _fused_layer(x, wqkv, w1cat, w2cat, lnq,
+    y = _fused_layer(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
                      layer_params["wout"], lno,
                      domain_onehot.astype(F32), seed_arr, cfg)
     return y[:, :f_real] if pad_f else y

@@ -262,7 +262,6 @@ def test_forced_fused_falls_back_when_unsupported():
     batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
     for kw in (dict(variant="gate"),
                dict(meta_mode="Q"),
-               dict(use_pos=True),
                dict(meta_dnn_hidden_units=(64, 64, 32))):  # 3-matrix MetaNet
         ref = SATrans(layout=layout, domain_cols=["domain"],
                       num_domains_list=[3], domain_att_layer_num=1,
@@ -437,3 +436,133 @@ def test_masked_attn_variant_matches_slice(monkeypatch):
                                    err_msg=bwd)
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    rtol=1e-4, atol=1e-6, err_msg=bwd)
+
+
+# ---------------------------------------------------------------------------
+# 'pos' variant: distinct Q/K meta tables + separate k_meta LayerNorm
+# (reference satrans.py:44-47, 225-234) - round-4 kernel extension
+# ---------------------------------------------------------------------------
+
+def _setup_pos(B=32, F=15, d=32, D=4, head_num=4, seed=5):
+    rng = np.random.default_rng(seed)
+    meta_units = [d, 2 * d, d]
+    P = metanet.param_size(meta_units)
+    x = jnp.asarray(rng.normal(size=(B, F, d)).astype(np.float32))
+    params = attention.meta_transformer_init(
+        jax.random.PRNGKey(seed), d, meta_units, share_kv_metanet=False)
+    # make the k_meta LN visibly different from q_meta's torch defaults
+    params["k_meta"]["ln"]["scale"] = jnp.asarray(
+        1.0 + 0.1 * rng.normal(size=(d,)).astype(np.float32))
+    params["k_meta"]["ln"]["bias"] = jnp.asarray(
+        0.1 * rng.normal(size=(d,)).astype(np.float32))
+    tables = {
+        "Q": jnp.asarray(rng.normal(size=(D, P)).astype(np.float32) * 0.1),
+        "K": jnp.asarray(rng.normal(size=(D, P)).astype(np.float32) * 0.1),
+    }
+    tables["V"] = tables["Q"]
+    dom = jnp.asarray(rng.integers(0, D, size=B))
+    onehot = jax.nn.one_hot(dom, D)
+    return x, params, tables, dom, onehot, meta_units, head_num
+
+
+def test_fused_pos_forward_matches_reference():
+    """Distinct Q/K tables + separate K LayerNorm == the XLA path."""
+    x, params, tables, dom, onehot, units, H = _setup_pos()
+    want = attention.meta_transformer_apply(
+        params, x, tables, units, mode="QK", head_num=H, train=False,
+        domain_ids=dom, dense_select=True)
+    got = meta_block.fused_meta_layer(
+        x, params, tables, onehot, meta_units=units, head_num=H,
+        train=False, block_b=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("bwd", ["stash", "recompute"])
+def test_fused_pos_vjp_matches_reference_grads(bwd):
+    """Backward with distinct Q/K meta weights: dQ-table and dK-table must
+    come out separately (and the k_meta LN grads route to k_meta)."""
+    x, params, tables, dom, onehot, units, H = _setup_pos()
+
+    def ref_loss(x, params, tables):
+        y = attention.meta_transformer_apply(
+            params, x, tables, units, mode="QK", head_num=H, train=False,
+            domain_ids=dom, dense_select=True)
+        return jnp.sum(jnp.sin(y))
+
+    def fused_loss(x, params, tables):
+        y = meta_block.fused_meta_layer_vjp(
+            x, params, tables, onehot, meta_units=units, head_num=H,
+            train=False, block_b=16, interpret=True, bwd=bwd,
+            stash_dtype="f32")
+        return jnp.sum(jnp.sin(y))
+
+    args = (x, params, {"Q": tables["Q"], "K": tables["K"]})
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(*args)
+    got_grads = jax.grad(fused_loss, argnums=(0, 1, 2))(*args)
+
+    np.testing.assert_allclose(np.asarray(got_grads[0]),
+                               np.asarray(ref_grads[0]), rtol=2e-3,
+                               atol=2e-4)
+    for key in ("wq", "wk", "wv", "wout"):
+        np.testing.assert_allclose(np.asarray(got_grads[1][key]),
+                                   np.asarray(ref_grads[1][key]),
+                                   rtol=2e-3, atol=2e-4, err_msg=key)
+    for meta in ("q_meta", "k_meta"):
+        for key in ("scale", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(got_grads[1][meta]["ln"][key]),
+                np.asarray(ref_grads[1][meta]["ln"][key]),
+                rtol=2e-3, atol=2e-4, err_msg=f"{meta}.ln.{key}")
+    for t in ("Q", "K"):
+        np.testing.assert_allclose(np.asarray(got_grads[2][t]),
+                                   np.asarray(ref_grads[2][t]),
+                                   rtol=2e-3, atol=2e-4, err_msg=t)
+    # the two table grads must genuinely differ (distinct paths)
+    assert not np.allclose(np.asarray(got_grads[2]["Q"]),
+                           np.asarray(got_grads[2]["K"]))
+
+
+def test_satrans_pos_fused_matches_unfused():
+    """SATrans use_pos=True: fused kernel == XLA path, fwd + grads."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import losses
+
+    cols = synthetic_columns(num_sparse=5, vocab=50, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    kw = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+              domain_att_layer_num=2, att_head_num=4,
+              meta_dnn_hidden_units=(64, 32), use_pos=True,
+              dropout_rate=0.0)
+    m_ref = SATrans(use_fused_kernel=False, **kw)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                      fused_block_b=16, **kw)
+    x, y = synthetic_data(n=32, num_sparse=5, vocab=50)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    assert "layerid_emb" in params and "k_meta" in params["layers"][0]
+    p_ref, _, _ = m_ref.apply(params, state, batch)
+    p_fused, _, _ = m_fused.apply(params, state, batch)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-5)
+
+    yb = jnp.asarray(y)
+
+    def loss(m):
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    g_ref = loss(m_ref)
+    g_fused = loss(m_fused)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        b = g_fused
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4,
+                                   err_msg=str(path))
