@@ -89,8 +89,13 @@ def _dedup_sorted_triples(v, w, wy):
 def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
                 axis: str = "data", capacity_factor: float | None = 2.0,
                 return_overflow: bool = False):
-    """Exact tie-averaged rank AUC over ``axis``-sharded 1-D inputs with
+    """Exact tie-averaged rank AUC over ``axis``-sharded inputs with
     O(N/n) per-device memory and traffic (module docstring).
+
+    Inputs are 1-D arrays sharded on their only axis, OR 2-D ``[k, B]``
+    stacks sharded on the LAST axis (the Trainer's evaluate path stacks
+    per-batch score arrays - stacking moves no data, and the kernel ravels
+    its local shard; AUC is order-independent).
 
     ``weight`` (0/1 or general nonneg) restricts/weights samples - the
     per-domain AUC masks flow through here untouched.
@@ -98,6 +103,9 @@ def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
     n = mesh.shape[axis]
 
     def kernel(y_l, s_l, w_l):
+        y_l = y_l.reshape(-1)
+        s_l = s_l.reshape(-1)
+        w_l = w_l.reshape(-1)
         m = s_l.shape[0]
         dt = s_l.dtype
         order = jnp.argsort(s_l)
@@ -159,8 +167,9 @@ def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
             / (n_pos * (n_tot - n_pos))
         return auc[None], jax.lax.psum(overflow, axis)[None]
 
+    spec = P(axis) if y_score.ndim == 1 else P(None, axis)
     shmap = jax.shard_map(kernel, mesh=mesh,
-                          in_specs=(P(axis), P(axis), P(axis)),
+                          in_specs=(spec, spec, spec),
                           out_specs=(P(), P()))
     y = y_true.astype(y_score.dtype)
     w = jnp.ones_like(y) if weight is None else weight.astype(y.dtype)
@@ -181,10 +190,15 @@ def distributed_auc(y_true, y_score, weight=None, *, mesh: Mesh | None = None,
     """
     if mesh is None:
         sh = getattr(y_score, "sharding", None)
+        data_axis = (sh.spec[-1] if isinstance(sh, NamedSharding) and sh.spec
+                     else None)
         if isinstance(sh, NamedSharding) and sh.mesh.devices.size > 1 \
-                and sh.spec and sh.spec[0] is not None:
-            mesh, axis = sh.mesh, sh.spec[0]
+                and data_axis is not None:
+            mesh, axis = sh.mesh, data_axis
         else:
+            y_true, y_score = y_true.reshape(-1), y_score.reshape(-1)
+            if weight is not None:
+                weight = weight.reshape(-1)
             return jax.jit(auc_jax)(y_true, y_score, weight)
     return auc_sharded(y_true, y_score, weight, mesh=mesh,
                        axis=axis or "data", capacity_factor=capacity_factor)
