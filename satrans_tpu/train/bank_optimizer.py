@@ -78,6 +78,29 @@ def _scatter_impl() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _lazy_tail_impl() -> str:
+    """How the lazy update's row tail (read -> decayed Adam -> commit) runs.
+
+    ``split`` (default): the separate gather / XLA-fused Adam chain /
+    row-DMA scatter (round-3 behavior; the only path under a mesh - opaque
+    kernels cannot be SPMD-partitioned).  ``fused``: ops/pallas/
+    lazy_tail.py does the whole row path in one kernel - built for round
+    4's "one HBM round trip" hypothesis and measured a consistent LOSS on
+    v5e (lazy step 30.0 ms vs split 25.96; 272.8k/273.2k vs 315.6k ex/s,
+    bench_results/lazy_tail_v5e_r4.json): the kernel's per-row read DMAs
+    stall each grid block (no cross-step pipelining of manual DMAs) while
+    XLA overlaps its fused gather+Adam chain with the neighboring step
+    work - the same lesson as the round-3 forward-gather kernel, now
+    confirmed on the write+read fused form.  The kernel stays equality-
+    tested (tests/test_lazy_tail.py) as the opt-in.  ``interpret``: the
+    fused kernel in interpret mode (CPU tests).  Env ``SATRANS_LAZY_TAIL``
+    overrides."""
+    mode = os.environ.get("SATRANS_LAZY_TAIL", "auto")
+    if mode in ("fused", "split", "interpret"):
+        return mode
+    return "split"
+
+
 def _gather_impl() -> str:
     """Which gather reads touched/forward bank rows (trace-time decision).
 
@@ -389,6 +412,7 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
                                            _split_bank(params)[0])
     rest_new = optax.apply_updates(_split_bank(params)[0], updates)
 
+    tail = "split" if force_xla else _lazy_tail_impl()
     if use_eqgemm(eq_plan, flat_ids.shape[0]):
         n = flat_ids.shape[0]
         fl = eq_plan.fields
@@ -400,53 +424,88 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
             g_rows.reshape(bsz, fl, w).transpose(1, 0, 2),
             eq_plan.shared)
         g_pos = s.transpose(1, 0, 2).reshape(n, w)
-        tgt, order = jax.lax.sort(
-            (flat_ids, jax.lax.iota(jnp.int32, n)))
-        gu = jnp.take(g_pos, order, axis=0)
+        if (not force_xla and tail == "split"
+                and _scatter_impl() in ("pallas", "interpret")):
+            # The racing row-DMA scatter is order-independent (duplicate
+            # positions carry bit-identical totals), so the per-step
+            # lax.sort of 82k ids + the [N, W] payload permute buy nothing
+            # - skip them (measured win, docs/PERFORMANCE.md r4).
+            tgt, gu, sorted_ids = flat_ids, g_pos, False
+        else:
+            tgt, order = jax.lax.sort(
+                (flat_ids, jax.lax.iota(jnp.int32, n)))
+            gu = jnp.take(g_pos, order, axis=0)
+            sorted_ids = True
         u_safe, valid, unique = tgt, None, False
     else:
         u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
         u_safe = jnp.where(valid, u, 0)
         tgt = jnp.where(valid, u, bank.shape[0])
         unique = True
+        sorted_ids = True
 
     # the 'last' read stays jnp.take (int32 [N]: 4-byte rows are no DMA
     # workload); the three W-wide row reads ride the row-DMA gather kernel
     k = (count_inc - 1 - jnp.take(b["last"], u_safe)).astype(jnp.float32)
-    w_u0, m_u0, v_u0 = gather_rows_impl(
-        (bank, b["mu"], b["nu"]), u_safe,
-        impl="xla" if force_xla else None)
-    m_u = m_u0 * (ADAM_B1 ** k)[:, None]
-    v_u = v_u0 * (ADAM_B2 ** k)[:, None]
-    # decoupled weight decay for the k skipped steps plus this one
-    w_u = w_u0 * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
-    w_u2, m_u2, v_u2 = adam_rows(w_u, m_u, v_u, gu, count_inc, lr)
 
-    impl = "xla" if force_xla else _scatter_impl()
-    if not unique and impl in ("pallas", "interpret"):
-        # EqPlan path: every position is a REAL in-range row (ids clipped
-        # above; no drop sentinel) and duplicate positions carry
-        # bit-identical values (eqgemm_combine's shared-row totals) -
-        # exactly the precondition of the row-DMA kernel
-        # (ops/pallas/scatter.py).
-        new_bank, new_mu, new_nu = pallas_scatter().scatter_rows_set(
-            (bank, b["mu"], b["nu"]), tgt, (w_u2, m_u2, v_u2),
-            interpret=impl == "interpret")
+    if tail in ("fused", "interpret"):
+        # one-kernel tail (ops/pallas/lazy_tail.py): the kernel writes rows
+        # of earlier blocks before later blocks read, so every REAL row id
+        # must appear at most once - mask duplicate positions (which carry
+        # identical totals on the EqPlan path) to the sentinel R
+        from ..ops.pallas import lazy_tail as _lt
+        if unique:
+            ids_k = tgt  # sort path: unique-or-sentinel already
+        else:
+            assert sorted_ids  # first-occurrence masking needs sorted ids
+            first = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), tgt[1:] != tgt[:-1]])
+            ids_k = jnp.where(first, tgt, bank.shape[0])
+        d1 = ADAM_B1 ** k
+        d2 = ADAM_B2 ** k
+        dww = (1.0 - 2.0 * l2 * lr) ** (k + 1.0)
+        cnt = count_inc.astype(jnp.float32)
+        c1inv = 1.0 / (1.0 - ADAM_B1 ** cnt)
+        c2inv = 1.0 / (1.0 - ADAM_B2 ** cnt)
+        new_bank, new_mu, new_nu = _lt.lazy_adam_rows(
+            bank, b["mu"], b["nu"], ids_k, gu, d1, d2, dww, c1inv, c2inv,
+            lr=lr, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS,
+            interpret=tail == "interpret")
     else:
-        def over(arr, vals):
-            return arr.at[tgt].set(vals, mode="drop",
-                                   indices_are_sorted=True,
-                                   unique_indices=unique)
-        new_bank = over(bank, w_u2)
-        new_mu = over(b["mu"], m_u2)
-        new_nu = over(b["nu"], v_u2)
+        w_u0, m_u0, v_u0 = gather_rows_impl(
+            (bank, b["mu"], b["nu"]), u_safe,
+            impl="xla" if force_xla else None)
+        m_u = m_u0 * (ADAM_B1 ** k)[:, None]
+        v_u = v_u0 * (ADAM_B2 ** k)[:, None]
+        # decoupled weight decay for the k skipped steps plus this one
+        w_u = w_u0 * ((1.0 - 2.0 * l2 * lr) ** (k + 1.0))[:, None]
+        w_u2, m_u2, v_u2 = adam_rows(w_u, m_u, v_u, gu, count_inc, lr)
+
+        impl = "xla" if force_xla else _scatter_impl()
+        if not unique and impl in ("pallas", "interpret"):
+            # EqPlan path: every position is a REAL in-range row (ids
+            # clipped above; no drop sentinel) and duplicate positions
+            # carry bit-identical values (eqgemm_combine's shared-row
+            # totals) - exactly the precondition of the row-DMA kernel
+            # (ops/pallas/scatter.py).
+            new_bank, new_mu, new_nu = pallas_scatter().scatter_rows_set(
+                (bank, b["mu"], b["nu"]), tgt, (w_u2, m_u2, v_u2),
+                interpret=impl == "interpret")
+        else:
+            def over(arr, vals):
+                return arr.at[tgt].set(vals, mode="drop",
+                                       indices_are_sorted=sorted_ids,
+                                       unique_indices=unique)
+            new_bank = over(bank, w_u2)
+            new_mu = over(b["mu"], m_u2)
+            new_nu = over(b["nu"], v_u2)
 
     new_params = _with_bank(rest_new, new_bank)
     new_b = {
         "mu": new_mu,
         "nu": new_nu,
         "last": b["last"].at[tgt].set(count_inc, mode="drop",
-                                      indices_are_sorted=True,
+                                      indices_are_sorted=sorted_ids,
                                       unique_indices=unique),
         "count": count_inc,
     }
