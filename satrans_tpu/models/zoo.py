@@ -519,7 +519,12 @@ class AdaSparse(ZooBase):
 
     dnn_hidden_units: Sequence[int] = (256, 128)
     dnn_dropout: float = 0.0
-    domain_emb_dim: int = 32
+    # The reference hardcodes domain_emb_dim=32 (adasparse.py:54, 69) while
+    # the concatenated domain embedding is actually embedding_dim wide
+    # (adasparse.py:167, 94) - a latent crash at any embedding_dim != 32
+    # (every published run uses 32, where they coincide).  None = follow
+    # embedding_dim, which is what the reference's forward actually needs.
+    domain_emb_dim: int | None = None
     beta: float = 2.0
     epsilon: float = 0.25
     alpha: float = 1.0
@@ -548,8 +553,9 @@ class AdaSparse(ZooBase):
                                             self.init_std),
                            "b": init.torch_linear_bias(kb, (dims[i + 1],),
                                                        dims[i])})
-            pruners.append(core.linear_init(next(ks),
-                                            dims[i] + self.domain_emb_dim,
+            dom_dim = (self.embedding_dim if self.domain_emb_dim is None
+                       else self.domain_emb_dim)
+            pruners.append(core.linear_init(next(ks), dims[i] + dom_dim,
                                             dims[i + 1]))
         p["dnn_layers"] = layers
         p["pruners"] = pruners

