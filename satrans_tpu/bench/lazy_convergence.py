@@ -28,10 +28,19 @@ import time
 
 import numpy as np
 
-STEPS = 500
+import os
+
+# Round 4 (VERDICT r3 item 7): the momentum-tail deviation compounds with
+# the untouched-steps count k, and 500 steps only reaches k-small regimes -
+# env knobs let the committed 1-epoch-scale run (~5000 steps = the real
+# AliCCP epoch, main.py:328) reuse this harness unchanged:
+#   SATRANS_CONV_STEPS / _CHECK / _MODES (comma list)
+STEPS = int(os.environ.get("SATRANS_CONV_STEPS", "500"))
 BATCH = 8192
 EVAL_N = 65536
-CHECK_EVERY = 25
+CHECK_EVERY = int(os.environ.get("SATRANS_CONV_CHECK", "25"))
+MODES = tuple(os.environ.get("SATRANS_CONV_MODES",
+                             "dense,fused,lazy").split(","))
 
 # AliCCP-shaped vocabs (reference main.py:124-128 dominates at 4.3M/695k/
 # 472k/444k): 4.62M logical rows -> 1.16M physical rows at dim 32 (pack 4)
@@ -113,7 +122,7 @@ def run(out_path: str | None = None):
                           "layers": 3, "heads": 4},
                "sparsity": sparsity, "checkpoint_steps": [], "modes": {}}
 
-    for mode in ("dense", "fused", "lazy"):
+    for mode in MODES:
         model = SATrans(layout=layout, domain_cols=["domain"],
                         num_domains_list=[3], domain_att_layer_num=3,
                         att_head_num=4, meta_dnn_hidden_units=(2 * DIM, DIM),
@@ -144,12 +153,14 @@ def run(out_path: str | None = None):
 
     d = results["modes"]
     results["final_auc"] = {m: d[m]["eval_auc"][-1] for m in d}
-    results["max_abs_auc_delta_lazy_vs_dense"] = float(np.max(np.abs(
-        np.asarray(d["lazy"]["eval_auc"])
-        - np.asarray(d["dense"]["eval_auc"]))))
-    results["max_abs_auc_delta_fused_vs_dense"] = float(np.max(np.abs(
-        np.asarray(d["fused"]["eval_auc"])
-        - np.asarray(d["dense"]["eval_auc"]))))
+    if "lazy" in d and "dense" in d:
+        results["max_abs_auc_delta_lazy_vs_dense"] = float(np.max(np.abs(
+            np.asarray(d["lazy"]["eval_auc"])
+            - np.asarray(d["dense"]["eval_auc"]))))
+    if "fused" in d and "dense" in d:
+        results["max_abs_auc_delta_fused_vs_dense"] = float(np.max(np.abs(
+            np.asarray(d["fused"]["eval_auc"])
+            - np.asarray(d["dense"]["eval_auc"]))))
     print(json.dumps({k: v for k, v in results.items() if k != "modes"},
                      indent=1))
     if out_path:

@@ -90,3 +90,9 @@ def test_predictor_pipelined_matches_serial():
     want = p(x, pipeline_depth=1)
     for depth in (2, 4):
         np.testing.assert_array_equal(p(x, pipeline_depth=depth), want)
+    # constructor-default pipeline depth (the host-attached deployment
+    # configuration) drives the threaded path without a per-call override
+    p3 = serving.Predictor(tr.model, tr.params, tr.state, batch_size=128,
+                           pipeline_depth=3)
+    assert p3.pipeline_depth == 3
+    np.testing.assert_array_equal(p3(x), want)
