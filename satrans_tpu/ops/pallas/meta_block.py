@@ -378,13 +378,19 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
 def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
                       w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
                       wout_ref, lno_ref, mask_ref,
-                      out_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref, *,
+                      out_ref, qkv_ref, uq_ref, uk_ref, *rest, stash_s: bool,
                       D: int, h: int, head_num: int, drop_rate: float,
                       train: bool, f_real: int | None = None,
                       attn_cap: int | None = None):
     """Forward that also stores the backward's residuals (see
     _bwd_kernel_stash): HBM traffic (~450 MB/layer at B=8192) bought back
-    ~2x in skipped backward recompute on v5e (docs/PERFORMANCE.md r2)."""
+    ~2x in skipped backward recompute on v5e (docs/PERFORMANCE.md r2).
+
+    ``rest`` = ``(s_ref, o_ref)`` when ``stash_s`` else ``(o_ref,)``: the
+    'light' mode drops the attention-probability stash (its [H, B/g, n, n]
+    tensor is the bulk of the residual traffic) and the backward
+    recomputes the probabilities from the stashed pre-LN sums."""
+    s_ref, o_ref = rest if stash_s else (None, rest[0])
     TB, F_, d = x_ref.shape
     y, qkv, uq, uk, s_keep, o = _fwd_compute(
         seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref, lnq_ref,
@@ -395,8 +401,9 @@ def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
     qkv_ref[:] = qkv.reshape(TB, F_, 3 * d).astype(qkv_ref.dtype)
     uq_ref[:] = uq.reshape(TB, F_, d).astype(uq_ref.dtype)
     uk_ref[:] = uk.reshape(TB, F_, d).astype(uk_ref.dtype)
-    for hd in range(len(s_keep)):
-        s_ref[hd] = s_keep[hd].astype(s_ref.dtype)
+    if stash_s:
+        for hd in range(len(s_keep)):
+            s_ref[hd] = s_keep[hd].astype(s_ref.dtype)
     o_ref[:] = o.astype(o_ref.dtype)
 
 
@@ -728,11 +735,7 @@ def _meta_bwd(dyn, xhat, inv, t0, hm, y_mask, w1, w2, ln_scale):
 
 def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
                       w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
-                      wout_ref, lno_ref, g_ref,
-                      qkv_ref, uq_ref, uk_ref, s_ref, o_ref,
-                      dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
-                      dw1k_ref, dw2k_ref, dlnk_ref,
-                      dwout_ref, dlno_ref, *,
+                      wout_ref, lno_ref, *rest, stash_s: bool,
                       D: int, h: int, head_num: int, drop_rate: float,
                       train: bool, f_real: int | None = None,
                       attn_cap: int | None = None):
@@ -740,10 +743,26 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
 
     Twin of :func:`_bwd_kernel` (same backward math - both are pinned to the
     XLA path by tests/test_pallas_meta_block.py); instead of recomputing the
-    whole forward it reads ``qkv``/``uq``/``uk``/``s``/``o`` and recomputes
-    only the two relu hidden layers and ``z`` (one GEMM each).  Dropout
-    masks are regenerated from the PRNG in the forward's draw order.
+    whole forward it reads ``qkv``/``uq``/``uk``[/``s``]/``o`` and
+    recomputes only the two relu hidden layers and ``z`` (one GEMM each).
+    Dropout masks are regenerated from the PRNG in the forward's draw order.
+
+    ``rest`` layout: ``[mask]`` (light mode only) + ``g, qkv, uq, uk`` +
+    ``[s]`` (full mode only) + ``o`` + the 10 outputs.  In 'light' mode
+    the attention probabilities are recomputed from the stashed pre-LN
+    sums (2 GEMMs + softmax per head) instead of read from HBM - the s
+    stash is the bulk of the residual traffic.
     """
+    if stash_s:
+        (g_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref,
+         dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
+         dw1k_ref, dw2k_ref, dlnk_ref, dwout_ref, dlno_ref) = rest
+        mask_ref = None
+    else:
+        (mask_ref, g_ref, qkv_ref, uq_ref, uk_ref, o_ref,
+         dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
+         dw1k_ref, dw2k_ref, dlnk_ref, dwout_ref, dlno_ref) = rest
+        s_ref = None
     TB, F_, d = x_ref.shape
     N = TB * F_
     dh = d // head_num
@@ -794,7 +813,24 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
     k3 = kn.reshape(groups, n_attn, d)
     v3 = v0.reshape(groups, n_attn, d)
 
-    s_list = [s_ref[hd].astype(F32) for hd in range(head_num)]
+    if stash_s:
+        s_list = [s_ref[hd].astype(F32) for hd in range(head_num)]
+    else:
+        # recompute the pre-dropout probabilities from qn/kn (the same
+        # contraction order as the forward - bit-matching softmax inputs)
+        blk_mask = mask_ref[:]
+        masked_attn = _attn_variant() == "masked"
+        hm_attn = _head_masks(d, head_num) if masked_attn else None
+        s_list = []
+        for hd in range(head_num):
+            sl = slice(hd * (d // head_num), (hd + 1) * (d // head_num))
+            if masked_attn:
+                qh, kh = q3 * hm_attn[hd], k3
+            else:
+                qh, kh = q3[..., sl], k3[..., sl]
+            sh = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=F32)
+            s_list.append(_softmax_lastdim(_clip_logits(sh) + blk_mask))
     sm_list = [s * m_s[hd] if use_drop else s
                for hd, s in enumerate(s_list)]
 
@@ -912,32 +948,37 @@ def _common_in_specs(block_b, F_, d, D, h, mask_shape=None):
     return specs
 
 
-def _stash_specs(B, block_b, F_, d, head_num, g_att, dtype=F32):
+def _stash_specs(B, block_b, F_, d, head_num, g_att, dtype=F32,
+                 with_s: bool = True):
     """(out_shapes, out_specs) for the stashed residuals.
 
     ``dtype=bf16`` halves the stash HBM traffic (~450 MB/layer fp32 at
     B=8192, dominated by the [H, B/g, n, n] attention probabilities);
     backward math stays fp32 - residuals are cast back on load.  The
     softmax probabilities and pre-LN sums tolerate bf16's 2^-8 resolution
-    (gradient error bounded by the parametrized bf16 grad test)."""
+    (gradient error bounded by the parametrized bf16 grad test).
+    ``with_s=False`` ('light' mode) drops the s stash entirely - the
+    backward recomputes the probabilities."""
     groups_t = block_b // g_att
     n = g_att * F_
-    shapes = (
+    shapes = [
         jax.ShapeDtypeStruct((B, F_, 3 * d), dtype),               # qkv
         jax.ShapeDtypeStruct((B, F_, d), dtype),                   # uq
         jax.ShapeDtypeStruct((B, F_, d), dtype),                   # uk
-        jax.ShapeDtypeStruct((head_num, B // g_att, n, n), dtype),  # s
-        jax.ShapeDtypeStruct((B, F_, d), dtype),                   # o
-    )
-    specs = (
+    ]
+    specs = [
         pl.BlockSpec((block_b, F_, 3 * d), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((head_num, groups_t, n, n),
-                     lambda i, *_: (0, i, 0, 0)),
-        pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-    )
-    return shapes, specs
+    ]
+    if with_s:
+        shapes.append(
+            jax.ShapeDtypeStruct((head_num, B // g_att, n, n), dtype))
+        specs.append(pl.BlockSpec((head_num, groups_t, n, n),
+                                  lambda i, *_: (0, i, 0, 0)))
+    shapes.append(jax.ShapeDtypeStruct((B, F_, d), dtype))          # o
+    specs.append(pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)))
+    return tuple(shapes), tuple(specs)
 
 
 def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
@@ -955,10 +996,11 @@ def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
     y_spec = pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0))
     if stash:
         st_shapes, st_specs = _stash_specs(B, block_b, F_, d, head_num,
-                                           g_att, stash_dtype)
-        kern, out_shape, out_specs = (_fwd_kernel_stash,
-                                      (y_shape,) + st_shapes,
-                                      (y_spec,) + st_specs)
+                                           g_att, stash_dtype,
+                                           with_s=stash != "light")
+        kern = functools.partial(_fwd_kernel_stash,
+                                 stash_s=stash != "light")
+        out_shape, out_specs = (y_shape,) + st_shapes, (y_spec,) + st_specs
     else:
         kern, out_shape, out_specs = _fwd_kernel, y_shape, y_spec
     kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
@@ -986,16 +1028,18 @@ def _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
      attn_cap, stash, _stash_dtype) = cfg
-    kern = _bwd_kernel_stash if stash else _bwd_kernel
+    kern = (functools.partial(_bwd_kernel_stash, stash_s=stash != "light")
+            if stash else _bwd_kernel)
     kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap)
     g_att = _attn_group(block_b, F_, attn_cap)
-    if stash:
+    if stash == "full":
         in_specs = _common_in_specs(block_b, F_, d, D, h)
         operands = [seed, onehot, x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
                     wout, lno, g]
     else:
+        # light-stash and recompute modes both need the attention mask
         mask = _block_mask(block_b // g_att, g_att, F_,
                            f_real if f_real is not None else F_)
         in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
@@ -1004,7 +1048,8 @@ def _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
     in_specs.append(pl.BlockSpec((block_b, F_, d),
                                  lambda i, *_: (i, 0, 0)))  # g
     if stash:
-        _, st_specs = _stash_specs(B, block_b, F_, d, head_num, g_att)
+        _, st_specs = _stash_specs(B, block_b, F_, d, head_num, g_att,
+                                   with_s=stash != "light")
         in_specs.extend(st_specs)
         operands.extend(stash_res)
     out_shapes = (
@@ -1095,9 +1140,12 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     ``bwd``: ``'stash'`` (default; env ``SATRANS_BWD`` overrides) stores the
     forward residuals (qkv, pre-LN sums, attention probs, attention output)
     to HBM and the backward skips the flash-style recompute;
-    ``'recompute'`` is the round-1 behavior (backward regenerates the
-    forward internals).  Same math either way - both backward kernels are
-    pinned to the XLA reference by tests.
+    ``'stash_light'`` stashes everything EXCEPT the attention
+    probabilities (the [H, B/g, n, n] tensor is the bulk of the residual
+    traffic) and recomputes them from the stashed pre-LN sums;
+    ``'recompute'`` is the round-1 behavior (backward regenerates all the
+    forward internals).  Same math in every mode - all backward kernels
+    are pinned to the XLA reference by tests.
 
     'pos' support: ``meta_tables['Q']``/``['K']`` may be DISTINCT [D, P]
     arrays (per-(layer, qkv) params, reference satrans.py:225-234) and
@@ -1123,7 +1171,7 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
         x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
     if bwd is None:
         bwd = os.environ.get("SATRANS_BWD", "stash")
-    if bwd not in ("stash", "recompute"):
+    if bwd not in ("stash", "stash_light", "recompute"):
         raise ValueError(f"unknown bwd mode {bwd!r}")
     # Residual stash dtype.  bf16 halves the stash HBM traffic (~450 MB/
     # layer fp32 at B=8192) but measured SLOWER end-to-end on v5e: lazy
@@ -1136,8 +1184,10 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
         stash_dtype = os.environ.get("SATRANS_STASH", "f32")
     if stash_dtype not in ("bf16", "f32"):
         raise ValueError(f"unknown stash dtype {stash_dtype!r}")
+    stash_mode = {"stash": "full", "stash_light": "light",
+                  "recompute": False}[bwd]
     cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
-           f_real if pad_f else None, attn_cap, bwd == "stash",
+           f_real if pad_f else None, attn_cap, stash_mode,
            jnp.bfloat16 if stash_dtype == "bf16" else F32)
     seed_arr = jnp.asarray([seed], jnp.int32)
     y = _fused_layer(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,

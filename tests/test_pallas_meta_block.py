@@ -51,7 +51,7 @@ def test_fused_forward_tilings(B, blk):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("bwd", ["stash", "recompute"])
+@pytest.mark.parametrize("bwd", ["stash", "stash_light", "recompute"])
 def test_fused_vjp_matches_reference_grads(bwd):
     """Backward kernels (both modes) vs jax.grad of the XLA reference."""
     x, params, tables, dom, onehot, units, H = _setup(B=32)
@@ -478,7 +478,7 @@ def test_fused_pos_forward_matches_reference():
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("bwd", ["stash", "recompute"])
+@pytest.mark.parametrize("bwd", ["stash", "stash_light", "recompute"])
 def test_fused_pos_vjp_matches_reference_grads(bwd):
     """Backward with distinct Q/K meta weights: dQ-table and dK-table must
     come out separately (and the k_meta LN grads route to k_meta)."""
