@@ -38,9 +38,14 @@ traffic per device.  This version keeps everything O(N/n) per device:
 Exactness: identical to :func:`train.metrics.auc_jax` (== sklearn) as long
 as no bucket overflows its capacity; the overflow count is computed
 globally and returned alongside (``return_overflow=True``), and
-``capacity_factor=None`` selects the no-overflow worst case.  The value
-pre-aggregation makes overflow require >capacity DISTINCT values landing
-in one sampled-quantile range - not observed on real score distributions.
+``capacity_factor=None`` selects the no-overflow worst case.  Splitter-
+sampling skew CAN overflow a bucket (observed at small per-device shard
+sizes, round 4), so the user-facing wrappers (:func:`auc_sharded_exact`,
+:func:`distributed_auc`, ``Trainer.evaluate_domains``) check the overflow
+scalar and rerun once unbounded when it is nonzero - exact always, O(N/n)
+in the common case.  Zero-weight entries (pads, per-domain masks) are
+collapsed to one +inf value per device up front so they never consume
+capacity.
 """
 
 from __future__ import annotations
@@ -106,6 +111,12 @@ def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
         y_l = y_l.reshape(-1)
         s_l = s_l.reshape(-1)
         w_l = w_l.reshape(-1)
+        # zero-weight entries (pad rows, out-of-domain samples in the
+        # per-domain masks) contribute nothing to any rank sum, but their
+        # score values would occupy dedup/bucket capacity - and pad scores
+        # cluster, so they can overflow a bucket and silently perturb the
+        # AUC.  Collapse them all to one +inf value per device up front.
+        s_l = jnp.where(w_l > 0, s_l, jnp.inf)
         m = s_l.shape[0]
         dt = s_l.dtype
         order = jnp.argsort(s_l)
@@ -180,6 +191,24 @@ def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
     return auc
 
 
+def auc_sharded_exact(y_true, y_score, weight=None, *, mesh: Mesh,
+                      axis: str = "data",
+                      capacity_factor: float | None = 2.0):
+    """:func:`auc_sharded` with an exactness guarantee: if the bounded-
+    capacity pass dropped any entry (splitter-sampling skew CAN overflow a
+    bucket - observed at small per-device shard sizes, where a silent drop
+    perturbs the AUC by ~1e-3), rerun once with ``capacity_factor=None``.
+    The overflow check is one replicated scalar; the exact retry is O(N)
+    per device but only triggers on actual overflow."""
+    auc, ov = auc_sharded(y_true, y_score, weight, mesh=mesh, axis=axis,
+                          capacity_factor=capacity_factor,
+                          return_overflow=True)
+    if capacity_factor is not None and int(ov) > 0:
+        auc = auc_sharded(y_true, y_score, weight, mesh=mesh, axis=axis,
+                          capacity_factor=None)
+    return auc
+
+
 def distributed_auc(y_true, y_score, weight=None, *, mesh: Mesh | None = None,
                     axis: str | None = None,
                     capacity_factor: float | None = 2.0):
@@ -187,6 +216,7 @@ def distributed_auc(y_true, y_score, weight=None, *, mesh: Mesh | None = None,
 
     ``mesh``/``axis`` default to the sharding carried by ``y_score``; plain
     single-device arrays fall back to the jitted on-device rank AUC.
+    Bounded-capacity pass + exact retry on overflow (auc_sharded_exact).
     """
     if mesh is None:
         sh = getattr(y_score, "sharding", None)
@@ -200,5 +230,6 @@ def distributed_auc(y_true, y_score, weight=None, *, mesh: Mesh | None = None,
             if weight is not None:
                 weight = weight.reshape(-1)
             return jax.jit(auc_jax)(y_true, y_score, weight)
-    return auc_sharded(y_true, y_score, weight, mesh=mesh,
-                       axis=axis or "data", capacity_factor=capacity_factor)
+    return auc_sharded_exact(y_true, y_score, weight, mesh=mesh,
+                             axis=axis or "data",
+                             capacity_factor=capacity_factor)

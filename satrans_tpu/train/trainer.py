@@ -723,7 +723,8 @@ class Trainer:
         out: dict[str, float] = {}
         for name in self.metric_fns:
             if name == "auc":
-                out[name] = float(dist.auc_sharded(ys, scores, ws, mesh=mesh)
+                out[name] = float(dist.auc_sharded_exact(ys, scores, ws,
+                                                         mesh=mesh)
                                   if mesh is not None and
                                   mesh.devices.size > 1
                                   else jax.jit(metrics_lib.auc_jax)(
@@ -754,7 +755,7 @@ class Trainer:
                 wv = jax.jit(masked_w)(ws, doms, v) if mesh is None \
                     else jax.jit(masked_w,
                                  out_shardings=scores.sharding)(ws, doms, v)
-                a = float(dist.auc_sharded(ys, scores, wv, mesh=mesh)
+                a = float(dist.auc_sharded_exact(ys, scores, wv, mesh=mesh)
                           if mesh is not None and mesh.devices.size > 1
                           else jax.jit(metrics_lib.auc_jax)(
                               ys.reshape(-1), scores.reshape(-1),

@@ -317,3 +317,57 @@ def test_alltoall_lookup_gradients(rng):
     g_a2a = np.asarray(jax.grad(loss_a2a)(bank_sh))
     g_rep = np.asarray(jax.grad(loss_rep)(jnp.asarray(bank)))
     np.testing.assert_allclose(g_a2a, g_rep, atol=1e-5)
+
+
+def test_evaluate_domains_matches_host_metrics():
+    """Trainer.evaluate_domains under the 8-device mesh == the host path
+    (sklearn-equal rank AUC + log loss), overall AND per domain, incl. a
+    non-divisible tail batch (round 4: the distributed eval surface)."""
+    cols = synthetic_columns(num_sparse=4, vocab=60, dim=8, num_domains=3)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=700, num_sparse=4, vocab=60, seed=3)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8))
+
+    mesh = make_mesh()
+    tr = Trainer(model, mesh=mesh, seed=4)
+    tr.compile(learning_rate=0.02)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+
+    m, dom_aucs = tr.evaluate_domains(x, y, domain_col="domain",
+                                      batch_size=256)
+    pred = tr.predict(x, batch_size=256)
+    yy = np.asarray(y, np.float64)
+    np.testing.assert_allclose(m["auc"], metrics.auc(yy, pred), atol=1e-6)
+    np.testing.assert_allclose(m["binary_crossentropy"],
+                               metrics.log_loss(yy, pred), atol=1e-6)
+    want = metrics.per_domain_auc(yy, pred, x["domain"])
+    assert set(dom_aucs) == set(want)
+    for v, a in want.items():
+        np.testing.assert_allclose(dom_aucs[v], a, atol=1e-6,
+                                   err_msg=f"domain {v}")
+    # evaluate() routes through the same device path under a mesh
+    ev = tr.evaluate(x, y, batch_size=256)
+    np.testing.assert_allclose(ev["auc"], m["auc"], atol=1e-12)
+
+
+def test_evaluate_domains_single_device_path():
+    """Without a mesh the same API uses the jitted on-device AUC and
+    matches the host metrics too."""
+    cols = synthetic_columns(num_sparse=3, vocab=40, dim=8, num_domains=3)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=300, num_sparse=3, vocab=40, seed=9)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8))
+    tr = Trainer(model, seed=4)
+    tr.compile(learning_rate=0.02)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+    m, dom_aucs = tr.evaluate_domains(x, y, domain_col="domain",
+                                      batch_size=128)
+    pred = tr.predict(x, batch_size=128)
+    yy = np.asarray(y, np.float64)
+    np.testing.assert_allclose(m["auc"], metrics.auc(yy, pred), atol=1e-6)
+    for v, a in metrics.per_domain_auc(yy, pred, x["domain"]).items():
+        np.testing.assert_allclose(dom_aucs[v], a, atol=1e-6)
