@@ -371,3 +371,25 @@ def test_evaluate_domains_single_device_path():
     np.testing.assert_allclose(m["auc"], metrics.auc(yy, pred), atol=1e-6)
     for v, a in metrics.per_domain_auc(yy, pred, x["domain"]).items():
         np.testing.assert_allclose(dom_aucs[v], a, atol=1e-6)
+
+
+def test_evaluate_domains_mtl_routed_under_mesh():
+    """Engine-C models (per-domain head routing) through the mesh eval
+    path: routed scores + distributed per-domain AUC == host path."""
+    from satrans_tpu.models import MMOE
+
+    cols = synthetic_columns(num_sparse=3, vocab=40, dim=8, num_domains=3)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=3, vocab=40, seed=6)
+    model = MMOE(layout=layout, num_tasks=3, domain_col="domain")
+    mesh = make_mesh()
+    tr = Trainer(model, mesh=mesh, seed=2)
+    tr.compile(learning_rate=0.02, loss=["binary_crossentropy"] * 3)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+    m, dom_aucs = tr.evaluate_domains(x, y, domain_col="domain",
+                                      batch_size=128)
+    pred = tr.predict(x, batch_size=128)
+    yy = np.asarray(y, np.float64)
+    np.testing.assert_allclose(m["auc"], metrics.auc(yy, pred), atol=1e-6)
+    for v, a in metrics.per_domain_auc(yy, pred, x["domain"]).items():
+        np.testing.assert_allclose(dom_aucs[v], a, atol=1e-6)
