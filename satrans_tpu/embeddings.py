@@ -133,6 +133,12 @@ def _eqgemm_impl() -> str:
     the memory-headroom option for batch shapes where the einsum's HBM
     tensor would not fit.  ``interpret``: the kernel in interpret mode
     (CPU tests).  Env ``SATRANS_EQGEMM`` overrides.
+
+    Also probed and rejected (round 4): materializing the equality tensor
+    in bf16 and feeding an explicit-bf16 einsum (standalone 2.44 vs
+    2.97 ms, eqgemm_probe_v5e_r4.json) - e2e A/B on v5e showed no win
+    (bf16 316.8k vs f32 317.2k ex/s), so the f32-materialized einsum
+    stays: same speed, exact-f32 combine numerics.
     """
     mode = os.environ.get("SATRANS_EQGEMM", "auto")
     if mode in ("xla", "pallas", "interpret"):
