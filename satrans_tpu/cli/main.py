@@ -67,7 +67,8 @@ def parse_args(argv=None):
                         help="row-shard the fused embedding banks over the "
                              "mesh (optimizer state follows the rows)")
     parser.add_argument("--bank_update", type=str, default="auto",
-                        choices=["auto", "dense", "fused", "lazy"],
+                        choices=["auto", "dense", "fused", "fused_eq",
+                                 "lazy"],
                         help="embedding-bank update path "
                              "(train/bank_optimizer.py; 'lazy' is the "
                              "documented deviation, PARITY.md)")

@@ -262,11 +262,6 @@ def _find_adam_state(opt_state):
     raise ValueError("no ScaleByAdamState in opt_state")
 
 
-def _overwrite(arr, tgt, vals):
-    return arr.at[tgt].set(vals, mode="drop", indices_are_sorted=True,
-                           unique_indices=True)
-
-
 def sparse_bank_grads(model, strategy, params, state, batch, y, weight, rng,
                       gather_fn=None):
     """Differentiate the step loss with the bank gradient kept sparse.
@@ -306,7 +301,8 @@ def sparse_bank_grads(model, strategy, params, state, batch, y, weight, rng,
 
 
 def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
-                 *, lr: float, l2: float, force_xla: bool = False):
+                 *, lr: float, l2: float, force_xla: bool = False,
+                 eq_plan: EqPlan | None = None):
     """Exact-parity bank update: analytic-L2 dense Adam pass + touched-row
     correction.  Returns ``(new_params, new_opt_state)`` identical (same
     formulas, same duplicate-combine order) to dense Adam on
@@ -316,6 +312,18 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     opaque to the SPMD partitioner, so under pjit-sharded operands only the
     XLA gather/scatter lower correctly (shard-LOCAL kernel use lives in
     parallel/bank_sharded.py instead).
+
+    ``eq_plan`` (the ``'fused_eq'`` Trainer mode): combine duplicates with
+    the equality GEMMs instead of sort+segment-sum (the sort is ~7 ms of
+    serialized index ops at N=155k on v5e - docs/PERFORMANCE.md).  Same
+    update FORMULAS, but the f32 summation order of duplicate gradients
+    differs (ulp-level) - the same class of difference as the reference's
+    own order-nondeterministic CUDA ``scatter_add_``, so this is reduction
+    -order freedom, not a semantic deviation (PARITY.md).  Every position
+    then carries its row's bit-identical total, so the duplicate-tolerant
+    scatter-set commits per POSITION (no unique pass).  OOB ids keep
+    dense/fused drop semantics: their totals never merge into in-range
+    rows (equality is per raw id) and their writes are dropped.
     """
     bank = params["emb"]["bank"]
     _, adam = _find_adam_state(opt_state)
@@ -324,8 +332,26 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     count_inc = adam.count + 1
 
     # touched rows, computed from PRE-update values with the full gradient
-    u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
-    u_safe = jnp.where(valid, u, 0)
+    if use_eqgemm(eq_plan, flat_ids.shape[0]):
+        n = flat_ids.shape[0]
+        fl = eq_plan.fields
+        bsz = n // fl
+        w = g_rows.shape[1]
+        # gather-plan order is a [B, F] lookup flattened row-major
+        s = embeddings.eqgemm_combine(
+            flat_ids.reshape(bsz, fl).T,
+            g_rows.reshape(bsz, fl, w).transpose(1, 0, 2),
+            eq_plan.shared)
+        gu = s.transpose(1, 0, 2).reshape(n, w)
+        oob = (flat_ids < 0) | (flat_ids >= bank.shape[0])
+        u_safe = jnp.clip(flat_ids, 0, bank.shape[0] - 1)
+        tgt = jnp.where(oob, bank.shape[0], flat_ids)
+        unique = sorted_ids = False
+    else:
+        u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
+        u_safe = jnp.where(valid, u, 0)
+        tgt = jnp.where(valid, u, bank.shape[0])
+        unique = sorted_ids = True
     w_u, m_u, v_u = gather_rows_impl(
         (bank, mu_b, nu_b), u_safe,
         impl="xla" if force_xla else None)
@@ -342,20 +368,26 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     updates, new_opt = optimizer.update(grads, opt_state, params)
     new_params = optax.apply_updates(params, updates)
 
-    # overwrite touched rows with their exact values
-    tgt = jnp.where(valid, u, bank.shape[0])
+    # overwrite touched rows with their exact values.  On the eq_plan path
+    # tgt holds every POSITION (duplicates carry bit-identical values -
+    # the racing row-DMA kernel and XLA's unordered duplicate set both
+    # store one well-defined value); sentinel ids (== row count) are
+    # dropped either way.
     idx, adam_new = _find_adam_state(new_opt)
     impl = "xla" if force_xla else _scatter_impl()
     if impl in ("pallas", "interpret"):
-        # sentinel ids (== row count) are dropped by the predicated DMA
         nb, nm, nn_ = pallas_scatter().scatter_rows_set(
             (new_params["emb"]["bank"], adam_new.mu["emb"]["bank"],
              adam_new.nu["emb"]["bank"]), tgt, (w_u2, m_u2, v_u2),
             drop_oob=True, interpret=impl == "interpret")
     else:
-        nb = _overwrite(new_params["emb"]["bank"], tgt, w_u2)
-        nm = _overwrite(adam_new.mu["emb"]["bank"], tgt, m_u2)
-        nn_ = _overwrite(adam_new.nu["emb"]["bank"], tgt, v_u2)
+        def _over(arr, vals):
+            return arr.at[tgt].set(vals, mode="drop",
+                                   indices_are_sorted=sorted_ids,
+                                   unique_indices=unique)
+        nb = _over(new_params["emb"]["bank"], w_u2)
+        nm = _over(adam_new.mu["emb"]["bank"], m_u2)
+        nn_ = _over(adam_new.nu["emb"]["bank"], v_u2)
     new_params["emb"]["bank"] = nb
     mu = dict(adam_new.mu)
     nu = dict(adam_new.nu)

@@ -163,6 +163,14 @@ class Trainer:
         * ``'fused'``: sparse bank gradient + analytic-L2 dense Adam pass +
           touched-row correction - numerically identical to 'dense'; the
           mode to use with ``embedding_exchange='alltoall'``.
+        * ``'fused_eq'``: 'fused' with the duplicate-gradient combine on
+          the MXU equality GEMMs instead of sort+segment-sum.  Same update
+          formulas (full-table L2 through Adam); only the f32 summation
+          order of duplicate gradients differs (ulp-level) - the same
+          freedom the reference's order-nondeterministic CUDA scatter_add_
+          already exercises, so still exact parity SEMANTICS (PARITY.md).
+          Faster than 'dense'/'fused' where the model has an EqPlan
+          (make_eq_plan; falls back to the sort combine otherwise).
         * ``'lazy'``: touched-rows-only sparse Adam with decayed moments and
           decoupled lazy L2 - a DOCUMENTED DEVIATION from reference
           semantics (PARITY.md), fastest.  Under a mesh with
@@ -173,7 +181,7 @@ class Trainer:
         * ``'dense'``: the faithful round-1 path (works for every model and
           optimizer).
         """
-        if bank_update not in ("auto", "dense", "fused", "lazy"):
+        if bank_update not in ("auto", "dense", "fused", "fused_eq", "lazy"):
             raise ValueError(f"unknown bank_update {bank_update!r}")
         self.bank_update = bank_update
         self.lazy_capacity_factor = lazy_capacity_factor
@@ -216,19 +224,21 @@ class Trainer:
         from .. import embeddings as _emb
         _emb.set_forward_gather("auto" if self.mesh is None else "xla")
 
-        if bank_mode in ("fused", "lazy"):
+        if bank_mode in ("fused", "fused_eq", "lazy"):
             from . import bank_optimizer
 
             l2 = float(model.l2_reg_embedding)
             lr = self._lr
-            # lazy only: the equality-GEMM combine changes f32 summation
-            # order, so the exact-parity 'fused' mode keeps the sort combine.
-            # Under a mesh the routed update does its own (sort-based)
-            # combines - no EqPlan.
+            # The equality-GEMM combine changes f32 summation order, so the
+            # bit-exact-vs-dense 'fused' mode keeps the sort combine;
+            # 'fused_eq' and 'lazy' opt into the eq-GEMM (reduction-order
+            # freedom only - PARITY.md).  Under a mesh the routed update
+            # does its own (sort-based) combines - no EqPlan.
             lazy_sharded = (bank_mode == "lazy" and self.mesh is not None
                             and self.shard_embeddings)
             eq_plan = (bank_optimizer.make_eq_plan(model)
-                       if bank_mode == "lazy" and not lazy_sharded else None)
+                       if bank_mode in ("lazy", "fused_eq")
+                       and not lazy_sharded else None)
             mesh = self.mesh
             capf = self.lazy_capacity_factor
             # mesh callers keep XLA kernels outside shard_map: an opaque
@@ -258,14 +268,15 @@ class Trainer:
                  aux) = bank_optimizer.sparse_bank_grads(
                     model, strategy, params, state, batch, y, weight, rng,
                     gather_fn=gather_fn)
-                if bank_mode == "fused":
+                if bank_mode in ("fused", "fused_eq"):
                     # reg stat includes the bank term (parity with 'dense'
                     # reporting); XLA fuses the read into the Adam pass.
                     reg = reg + l2 * jnp.sum(
                         jnp.square(params["emb"]["bank"]))
                     params, opt_state = bank_optimizer.fused_update(
                         self.optimizer, params, opt_state, flat_ids, g_rows,
-                        g_rest, lr=lr, l2=l2, force_xla=force_xla)
+                        g_rest, lr=lr, l2=l2, force_xla=force_xla,
+                        eq_plan=eq_plan if bank_mode == "fused_eq" else None)
                 elif lazy_sharded:
                     # lazy under a mesh: owner-routed shard-local commit
                     params, opt_state, overflow = \
@@ -348,13 +359,13 @@ class Trainer:
             # scatters - bench/bank_modes.py); 'lazy' is faster still but a
             # documented deviation, so it stays opt-in.
             mode = "dense"
-        elif mode in ("fused", "lazy") and not elig:
+        elif mode in ("fused", "fused_eq", "lazy") and not elig:
             raise ValueError(
                 f"bank_update={mode!r} needs the stock 'adam' optimizer and "
                 "a standard_bank_access model "
                 f"({type(self.model).__name__} is not)")
-        if self.embedding_exchange == "alltoall" and mode not in ("fused",
-                                                                  "lazy"):
+        if self.embedding_exchange == "alltoall" and mode not in (
+                "fused", "fused_eq", "lazy"):
             raise ValueError("embedding_exchange='alltoall' routes the bank "
                              "read through the sparse gather plan - compile "
                              "with bank_update='fused' or 'lazy'")

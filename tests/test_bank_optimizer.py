@@ -95,6 +95,122 @@ def test_fused_equals_dense_zoo_and_mtl():
         _assert_tree_close(tr_d.params, tr_f.params)
 
 
+def test_fused_eq_matches_dense():
+    """fused_eq == dense up to the eq-GEMM's f32 summation order (same
+    update formulas incl. full-table L2 through Adam; PARITY.md notes the
+    reduction-order freedom).  No varlen so the EqPlan engages."""
+    from satrans_tpu.train import bank_optimizer
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    assert bank_optimizer.make_eq_plan(model) is not None
+    tr_d = _fit(model, x, y, "dense")
+    tr_e = _fit(model, x, y, "fused_eq")
+    assert tr_e._bank_mode == "fused_eq"
+    _assert_tree_close(tr_d.params, tr_e.params, atol=2e-5, rtol=1e-4)
+    _assert_tree_close(tr_d.opt_state, tr_e.opt_state, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(tr_d.predict(x, 256), tr_e.predict(x, 256),
+                               atol=1e-4)
+
+
+def test_fused_eq_without_plan_is_bitwise_fused():
+    """Varlen breaks the per-field grouping -> make_eq_plan is None ->
+    fused_eq falls back to the sort combine = bit-identical to 'fused'."""
+    from satrans_tpu.train import bank_optimizer
+
+    model, x, y = _satrans_setup(n=512)
+    assert bank_optimizer.make_eq_plan(model) is None
+    tr_f = _fit(model, x, y, "fused")
+    tr_e = _fit(model, x, y, "fused_eq")
+    _assert_tree_close(tr_f.params, tr_e.params, atol=0, rtol=0)
+
+
+def test_fused_eq_oob_ids_dropped_like_dense():
+    """OOB ids on the eq path keep fused/dense drop semantics: their
+    contributions reach no in-range row and their writes are dropped."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=256, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    plan = bank_optimizer.make_eq_plan(model)
+    assert plan is not None
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = opt.init(params)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = np.array(
+        embeddings.bank_gather_plan(params["emb"], layout, batch))
+    R = params["emb"]["bank"].shape[0]
+    flat_ids[::7] = R + 5     # OOB high (same raw id -> combined, dropped)
+    flat_ids[3] = -2          # OOB negative
+    flat_ids = jnp.asarray(flat_ids)
+    rng = np.random.default_rng(0)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    p_sort, s_sort = bank_optimizer.fused_update(
+        opt, params, opt_state, flat_ids, g_rows, g_rest, lr=0.01, l2=1e-4)
+    p_eq, s_eq = bank_optimizer.fused_update(
+        opt, params, opt_state, flat_ids, g_rows, g_rest, lr=0.01, l2=1e-4,
+        eq_plan=plan)
+    _assert_tree_close(p_sort, p_eq, atol=2e-5, rtol=1e-4)
+    _assert_tree_close(s_sort, s_eq, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_eq_pallas_scatter_matches_xla(monkeypatch):
+    """fused_eq committing per-position duplicates through the row-DMA
+    kernel (interpret) is bit-identical to the XLA duplicate-set path."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=256, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    plan = bank_optimizer.make_eq_plan(model)
+    assert plan is not None
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = opt.init(params)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = embeddings.bank_gather_plan(params["emb"], layout, batch)
+    rng = np.random.default_rng(0)
+    g_rows = jnp.asarray(rng.normal(
+        size=(flat_ids.shape[0],
+              params["emb"]["bank"].shape[1])).astype(np.float32))
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    def run():
+        return bank_optimizer.fused_update(
+            opt, params, opt_state, flat_ids, g_rows, g_rest,
+            lr=0.01, l2=1e-4, eq_plan=plan)
+
+    monkeypatch.setenv("SATRANS_SCATTER", "xla")
+    p_x, s_x = run()
+    monkeypatch.setenv("SATRANS_SCATTER", "interpret")
+    p_p, s_p = run()
+    _assert_tree_close(p_x, p_p, atol=0, rtol=0)
+    _assert_tree_close(s_x, s_p, atol=0, rtol=0)
+
+
 def test_auto_resolves_to_dense_for_now():
     # auto stays 'dense' until the sparse combine is faster on-chip
     # (see Trainer._resolve_bank_mode)
@@ -175,6 +291,31 @@ def test_fused_under_mesh_matches_dense():
     bank_d = np.asarray(tr_d.params["emb"]["bank"])
     bank_m = np.asarray(tr_m.params["emb"]["bank"])[:bank_d.shape[0]]
     np.testing.assert_allclose(bank_d, bank_m, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_eq_under_mesh_matches_dense():
+    """fused_eq under an 8-device mesh (force_xla: SPMD einsum combine +
+    duplicate-index scatter, collectives inserted by XLA) matches the
+    single-device dense fit.  No varlen so the EqPlan engages."""
+    from satrans_tpu.train import bank_optimizer
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=512, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    assert bank_optimizer.make_eq_plan(model) is not None
+    tr_d = _fit(model, x, y, "dense")
+    tr_m = Trainer(model, mesh=mesh, shard_embeddings=True, seed=7)
+    tr_m.compile(learning_rate=0.01, bank_update="fused_eq")
+    tr_m.fit(x, y, batch_size=256, epochs=1, shuffle=False, verbose=0)
+    assert tr_m._bank_mode == "fused_eq"
+    bank_d = np.asarray(tr_d.params["emb"]["bank"])
+    bank_m = np.asarray(tr_m.params["emb"]["bank"])[:bank_d.shape[0]]
+    np.testing.assert_allclose(bank_d, bank_m, atol=1e-5, rtol=1e-4)
 
 
 def test_lazy_under_mesh_matches_single():
