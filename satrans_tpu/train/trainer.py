@@ -354,10 +354,13 @@ class Trainer:
         elig = (self._opt_is_adam
                 and bank_optimizer.eligible(self.model, self.params))
         if mode == "auto":
-            # 'dense' is the fastest EXACT-parity mode on v5e ('fused' pays
-            # the same dense Adam pass plus the touched-row overwrite
-            # scatters - bench/bank_modes.py); 'lazy' is faster still but a
-            # documented deviation, so it stays opt-in.
+            # 'dense' is the bit-exact reference path and works for every
+            # model/optimizer, so it stays the default.  'fused_eq' is
+            # ~1% faster at exact-parity SEMANTICS (eq-GEMM reduction
+            # order, PARITY.md) but only for eligible models - keeping
+            # auto deterministic beats chasing that margin; 'lazy' is
+            # 33% faster still but a documented deviation, so both stay
+            # opt-in (docs/PERFORMANCE.md r4).
             mode = "dense"
         elif mode in ("fused", "fused_eq", "lazy") and not elig:
             raise ValueError(
