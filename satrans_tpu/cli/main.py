@@ -252,13 +252,16 @@ def main(argv=None):
     from ..train import Trainer, metrics
     from ..utils import enable_compilation_cache
 
-    enable_compilation_cache()  # warm starts skip the big XLA compiles
     args = parse_args(argv)
     if args.coordinator_address is not None:
         from ..parallel import distributed
         distributed.initialize(coordinator_address=args.coordinator_address,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
+    # AFTER distributed.initialize: resolving the cache touches
+    # jax.default_backend(), and backend init must see the pod topology
+    # (jax.distributed.initialize raises if any computation ran first)
+    enable_compilation_cache()  # warm starts skip the big XLA compiles
     mesh = None
     if args.mesh != "none":
         import jax
@@ -378,8 +381,19 @@ def main(argv=None):
         for i, domain_auc in dom_aucs.items():
             print(f"Domain {i} test AUC", round(domain_auc, 4))
             test_auc_list.append(str(round(domain_auc, 4)))
+        # 'dump' writes the reference's <config>_testpred.pkl (main.py:401)
+        # - under a single-process mesh predict() yields the full vector;
+        # multi-process runs hold only a shard per process, so warn rather
+        # than silently dropping the file or writing a partial one
+        pred = None
+        if "dump" in flag:
+            if nprocs > 1:
+                print("dump: skipping testpred.pkl (each process holds "
+                      "only its shard of the test set)")
+            else:
+                pred = trainer.predict(test_x, test_batch_size)
         return _write_results(args, domain_col, flag, test_auc,
-                              test_auc_list, test_loss, trainer, None)
+                              test_auc_list, test_loss, trainer, pred)
 
     if "showattn" in flag and hasattr(model, "domain_cols"):
         from ..train.attention_probe import predict_with_attention

@@ -175,10 +175,13 @@ def eqgemm_combine(ids_fb, g_fb, shared_rows=(), impl: str | None = None):
     ``shared_rows``: static list of ``(phys_row, [field_idx, ...])``.
 
     ``impl``: ``None`` resolves via :func:`_eqgemm_impl` (env
-    ``SATRANS_EQGEMM``; TPU default ``pallas``).  The Pallas kernel
-    (ops/pallas/eqgemm.py) computes the same per-field sums without
-    materializing the ``[F, B, B]`` equality tensor in HBM; the shared-row
-    overwrite below runs in exact f32 either way.
+    ``SATRANS_EQGEMM``; default ``xla`` - the measured e2e choice, see
+    that docstring).  ``pallas`` opts into the kernel
+    (ops/pallas/eqgemm.py), which computes the same per-field sums
+    without materializing the ``[F, B, B]`` equality tensor in HBM; the
+    shared-row overwrite below runs in exact f32 either way.  Mesh
+    callers pass ``impl='xla'`` explicitly - the opaque kernel cannot be
+    SPMD-partitioned.
     """
     impl = impl or _eqgemm_impl()
     if impl in ("pallas", "interpret"):

@@ -50,6 +50,8 @@ capacity.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -91,20 +93,14 @@ def _dedup_sorted_triples(v, w, wy):
     return v_rep, jnp.where(valid, W, 0.0), jnp.where(valid, WY, 0.0), valid
 
 
-def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
-                axis: str = "data", capacity_factor: float | None = 2.0,
-                return_overflow: bool = False):
-    """Exact tie-averaged rank AUC over ``axis``-sharded inputs with
-    O(N/n) per-device memory and traffic (module docstring).
-
-    Inputs are 1-D arrays sharded on their only axis, OR 2-D ``[k, B]``
-    stacks sharded on the LAST axis (the Trainer's evaluate path stacks
-    per-batch score arrays - stacking moves no data, and the kernel ravels
-    its local shard; AUC is order-independent).
-
-    ``weight`` (0/1 or general nonneg) restricts/weights samples - the
-    per-domain AUC masks flow through here untouched.
-    """
+@functools.lru_cache(maxsize=None)
+def _auc_sharded_program(mesh: Mesh, axis: str,
+                         capacity_factor: float | None, ndim: int):
+    """One jitted shard_map program per (mesh, axis, capacity, rank) -
+    evaluate_domains calls the AUC once per domain value per epoch, and
+    rebuilding the shard_map + retracing each call recompiled the whole
+    exchange every time (round-4 review).  jit handles shape/dtype
+    variation within a cache entry."""
     n = mesh.shape[axis]
 
     def kernel(y_l, s_l, w_l):
@@ -178,10 +174,27 @@ def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
             / (n_pos * (n_tot - n_pos))
         return auc[None], jax.lax.psum(overflow, axis)[None]
 
-    spec = P(axis) if y_score.ndim == 1 else P(None, axis)
-    shmap = jax.shard_map(kernel, mesh=mesh,
-                          in_specs=(spec, spec, spec),
-                          out_specs=(P(), P()))
+    spec = P(axis) if ndim == 1 else P(None, axis)
+    return jax.jit(jax.shard_map(kernel, mesh=mesh,
+                                 in_specs=(spec, spec, spec),
+                                 out_specs=(P(), P())))
+
+
+def auc_sharded(y_true, y_score, weight=None, *, mesh: Mesh,
+                axis: str = "data", capacity_factor: float | None = 2.0,
+                return_overflow: bool = False):
+    """Exact tie-averaged rank AUC over ``axis``-sharded inputs with
+    O(N/n) per-device memory and traffic (module docstring).
+
+    Inputs are 1-D arrays sharded on their only axis, OR 2-D ``[k, B]``
+    stacks sharded on the LAST axis (the Trainer's evaluate path stacks
+    per-batch score arrays - stacking moves no data, and the kernel ravels
+    its local shard; AUC is order-independent).
+
+    ``weight`` (0/1 or general nonneg) restricts/weights samples - the
+    per-domain AUC masks flow through here untouched.
+    """
+    shmap = _auc_sharded_program(mesh, axis, capacity_factor, y_score.ndim)
     y = y_true.astype(y_score.dtype)
     w = jnp.ones_like(y) if weight is None else weight.astype(y.dtype)
     auc, overflow = shmap(y, y_score, w)

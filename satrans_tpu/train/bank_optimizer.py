@@ -338,10 +338,13 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
         bsz = n // fl
         w = g_rows.shape[1]
         # gather-plan order is a [B, F] lookup flattened row-major
+        # mesh callers (force_xla) must pin the combine to the einsum too:
+        # the opaque Pallas eqgemm (env SATRANS_EQGEMM=pallas) cannot be
+        # SPMD-partitioned, same as the gather/scatter kernels
         s = embeddings.eqgemm_combine(
             flat_ids.reshape(bsz, fl).T,
             g_rows.reshape(bsz, fl, w).transpose(1, 0, 2),
-            eq_plan.shared)
+            eq_plan.shared, impl="xla" if force_xla else None)
         gu = s.transpose(1, 0, 2).reshape(n, w)
         oob = (flat_ids < 0) | (flat_ids >= bank.shape[0])
         u_safe = jnp.clip(flat_ids, 0, bank.shape[0] - 1)
@@ -450,11 +453,13 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
         fl = eq_plan.fields
         bsz = n // fl
         w = g_rows.shape[1]
-        # gather-plan order is a [B, F] lookup flattened row-major
+        # gather-plan order is a [B, F] lookup flattened row-major.
+        # force_xla pins the combine to the einsum (the opaque Pallas
+        # eqgemm cannot be SPMD-partitioned under a mesh)
         s = embeddings.eqgemm_combine(
             flat_ids.reshape(bsz, fl).T,
             g_rows.reshape(bsz, fl, w).transpose(1, 0, 2),
-            eq_plan.shared)
+            eq_plan.shared, impl="xla" if force_xla else None)
         g_pos = s.transpose(1, 0, 2).reshape(n, w)
         if (not force_xla and tail == "split"
                 and _scatter_impl() in ("pallas", "interpret")):

@@ -27,6 +27,7 @@ TPU-native design points (vs. the reference hot loop, SURVEY.md section 3.1):
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Sequence
 
@@ -38,6 +39,37 @@ import optax
 
 from . import callbacks as cb, losses, metrics as metrics_lib
 from ..features import FeatureLayout
+
+
+# evaluate_domains runs once per epoch and once per domain value: module
+# -level jit wrappers (traced on first use, cached by shape thereafter)
+# instead of fresh per-call jax.jit(...) wrappers that would recompile the
+# same tiny programs every evaluation (round-4 review)
+_auc_jax_jit = jax.jit(metrics_lib.auc_jax)
+
+
+@jax.jit
+def _weighted_bce(s, yy, w):
+    return jnp.sum(w * losses.bce_elementwise(s, yy)) \
+        / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _masked_w(ws_, doms_, v):
+    # v is a TRACED scalar: one compile covers every domain value
+    return ws_ * (doms_ == v).astype(ws_.dtype)
+
+
+_masked_w_jit = jax.jit(_masked_w)
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_w_sharded(sharding):
+    return jax.jit(_masked_w, out_shardings=sharding)
+
+
+@functools.lru_cache(maxsize=None)
+def _stack_sharded(sharding):
+    return jax.jit(lambda *t: jnp.stack(t), out_shardings=sharding)
 
 
 _ELEMENTWISE = {
@@ -704,8 +736,7 @@ class Trainer:
                 doms.append(batch["sparse"][:, didx])
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            out_sh = NamedSharding(self.mesh, P(None, "data"))
-            stack = jax.jit(lambda *t: jnp.stack(t), out_shardings=out_sh)
+            stack = _stack_sharded(NamedSharding(self.mesh, P(None, "data")))
         else:
             def stack(*t):
                 return jnp.stack(t)
@@ -724,16 +755,10 @@ class Trainer:
         shard; every process returns identical values.
         """
         from ..parallel import distributed as dist
-        from . import losses
 
         scores, ys, ws, doms = self._eval_collect(x, y, batch_size,
                                                   domain_col)
         mesh = self.mesh
-
-        def device_metrics(s, yy, w):
-            bce = jnp.sum(w * losses.bce_elementwise(s, yy)) \
-                / jnp.maximum(jnp.sum(w), 1.0)
-            return bce
         out: dict[str, float] = {}
         for name in self.metric_fns:
             if name == "auc":
@@ -741,11 +766,11 @@ class Trainer:
                                                          mesh=mesh)
                                   if mesh is not None and
                                   mesh.devices.size > 1
-                                  else jax.jit(metrics_lib.auc_jax)(
+                                  else _auc_jax_jit(
                                       ys.reshape(-1), scores.reshape(-1),
                                       ws.reshape(-1)))
             elif name == "binary_crossentropy":
-                out[name] = float(jax.jit(device_metrics)(scores, ys, ws))
+                out[name] = float(_weighted_bce(scores, ys, ws))
             else:  # uncommon metrics: host fallback on this host's shard
                 pred = np.asarray(jax.device_get(scores)).reshape(-1)
                 w_h = np.asarray(jax.device_get(ws)).reshape(-1) > 0
@@ -762,16 +787,15 @@ class Trainer:
                 lo, hi = int(np.min(bounds[:, 0])), int(np.max(bounds[:, 1]))
 
             # global arrays must be ARGUMENTS (a multi-process jax.Array
-            # cannot be closed over as a constant)
-            def masked_w(ws_, doms_, v):
-                return ws_ * (doms_ == v).astype(ws_.dtype)
+            # cannot be closed over as a constant); v is traced, so the
+            # mask program compiles once for ALL domain values
+            mask_fn = (_masked_w_jit if mesh is None
+                       else _masked_w_sharded(scores.sharding))
             for v in range(lo, hi + 1):
-                wv = jax.jit(masked_w)(ws, doms, v) if mesh is None \
-                    else jax.jit(masked_w,
-                                 out_shardings=scores.sharding)(ws, doms, v)
+                wv = mask_fn(ws, doms, jnp.int32(v))
                 a = float(dist.auc_sharded_exact(ys, scores, wv, mesh=mesh)
                           if mesh is not None and mesh.devices.size > 1
-                          else jax.jit(metrics_lib.auc_jax)(
+                          else _auc_jax_jit(
                               ys.reshape(-1), scores.reshape(-1),
                               wv.reshape(-1)))
                 if np.isfinite(a):  # absent domain value -> 0/0
