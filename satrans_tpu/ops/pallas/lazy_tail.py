@@ -9,7 +9,7 @@ round trip plus XLA's serialized-scatter lowering.
 
 This kernel does the whole row path in ONE pass per row block:
 
-  per row i with ids[i] < R (sentinel R skips - see below):
+  per row i with 0 <= ids[i] < R (sentinel R and negatives skip - see below):
     read  w,m,v       = bank[id], mu[id], nu[id]      (per-row async DMA in)
     decay m *= d1[i]; v *= d2[i]; w *= dw[i]          (analytic catch-up)
     adam  m2 = (1-b1) g + b1 m;  v2 = (1-b2) g^2 + b2 v
@@ -87,7 +87,7 @@ def _kernel(ids_ref, hyper_ref, g_ref, dec_ref,
                     bufs[a].at[pl.ds(r, 1)],
                     sems.at[a, r % _SLOTS],
                 ).start()
-            pl.when(rid < n_rows)(_start)
+            pl.when((rid >= 0) & (rid < n_rows))(_start)
     for a in range(3):
         for r in range(rb):
 
@@ -97,7 +97,8 @@ def _kernel(ids_ref, hyper_ref, g_ref, dec_ref,
                     bufs[a].at[pl.ds(0, 1)],
                     sems.at[a, r % _SLOTS],
                 ).wait()
-            pl.when(ids_ref[base + r] < n_rows)(_wait)
+            pl.when((ids_ref[base + r] >= 0)
+                    & (ids_ref[base + r] < n_rows))(_wait)
 
     # ---- phase B: decayed Adam on the whole block (VPU) ----
     g = g_ref[:].astype(F32)                    # [rb, W]
@@ -125,7 +126,7 @@ def _kernel(ids_ref, hyper_ref, g_ref, dec_ref,
                     outs[a].at[pl.ds(rid, 1)],
                     sems.at[a, r % _SLOTS],
                 ).start()
-            pl.when(rid < n_rows)(_start)
+            pl.when((rid >= 0) & (rid < n_rows))(_start)
     for a in range(3):
         for r in range(rb):
 
@@ -135,7 +136,8 @@ def _kernel(ids_ref, hyper_ref, g_ref, dec_ref,
                     outs[a].at[pl.ds(0, 1)],
                     sems.at[a, r % _SLOTS],
                 ).wait()
-            pl.when(ids_ref[base + r] < n_rows)(_wait)
+            pl.when((ids_ref[base + r] >= 0)
+                    & (ids_ref[base + r] < n_rows))(_wait)
 
 
 def lazy_adam_rows(bank, mu, nu, ids, g, d1, d2, dw, c1inv, c2inv, *,
@@ -145,7 +147,8 @@ def lazy_adam_rows(bank, mu, nu, ids, g, d1, d2, dw, c1inv, c2inv, *,
     """In-place decayed-Adam commit of touched rows (module docstring).
 
     bank/mu/nu: [R, W] f32 (aliased in->out, donated where legal);
-    ids: [N] int32, each REAL row at most once, sentinel >= R skips;
+    ids: [N] int32, each REAL row at most once; any id outside [0, R)
+    (sentinel or negative) skips;
     g: [N, W] f32 combined row gradients; d1/d2/dw: [N] f32 decay factors;
     c1inv/c2inv: scalar f32 Adam bias-correction reciprocals.
     Returns (bank, mu, nu).

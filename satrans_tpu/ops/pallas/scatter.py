@@ -52,8 +52,10 @@ def _kernel(ids_ref, *refs, n_arrays: int, rb: int, n_rows: int,
     One grid step commits rows [base, base+rb) of every array: fully
     unrolled DMA issue (one per row per array) then unrolled drains.
     With ``drop_oob`` every row's start AND wait are predicated on the same
-    ``id < n_rows`` test (sentinel ids are skipped, XLA ``mode='drop'``
-    semantics) - the predicates match, so every issued DMA is drained.
+    ``0 <= id < n_rows`` test (sentinel AND negative ids are skipped - the
+    full XLA ``mode='drop'`` semantics; a negative id would otherwise DMA
+    before the array base) - the predicates match, so every issued DMA is
+    drained.
     """
     vals = refs[:n_arrays]
     outs = refs[2 * n_arrays:3 * n_arrays]
@@ -71,7 +73,7 @@ def _kernel(ids_ref, *refs, n_arrays: int, rb: int, n_rows: int,
                 ).start()
 
             if drop_oob:
-                pl.when(rid < n_rows)(_start)
+                pl.when((rid >= 0) & (rid < n_rows))(_start)
             else:
                 _start()
     for a in range(n_arrays):
@@ -85,7 +87,8 @@ def _kernel(ids_ref, *refs, n_arrays: int, rb: int, n_rows: int,
                 ).wait()
 
             if drop_oob:
-                pl.when(ids_ref[base + r] < n_rows)(_wait)
+                rid_w = ids_ref[base + r]
+                pl.when((rid_w >= 0) & (rid_w < n_rows))(_wait)
             else:
                 _wait()
 
@@ -96,7 +99,10 @@ def scatter_rows_set(arrays, ids, values, *, rb: int = 256,
 
     arrays: sequence of [R, W_a] (aliased in/out - donated by XLA where
     legal); ids: [N] int32, all in [0, R) - or, with ``drop_oob``, any id
-    >= R is skipped (XLA ``mode='drop'`` semantics, predicated DMA).
+    outside [0, R) (negative or >= R) is skipped by the predicated DMA.
+    NOTE this is stricter than XLA ``.at[].set(mode='drop')``, which WRAPS
+    negative ids numpy-style; callers that support both impls sentinel
+    negatives to R first so the two agree (bank_optimizer).
     values: matching [N, W_a].  Returns the updated arrays (tuple).  N is
     padded internally to a multiple of ``rb`` by repeating the last row of
     ids/values (a duplicate write of an identical value, or a dropped

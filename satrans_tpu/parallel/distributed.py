@@ -93,7 +93,7 @@ def _dedup_sorted_triples(v, w, wy):
     return v_rep, jnp.where(valid, W, 0.0), jnp.where(valid, WY, 0.0), valid
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _auc_sharded_program(mesh: Mesh, axis: str,
                          capacity_factor: float | None, ndim: int):
     """One jitted shard_map program per (mesh, axis, capacity, rank) -

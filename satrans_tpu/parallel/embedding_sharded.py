@@ -68,10 +68,18 @@ def alltoall_lookup(bank, ids, mesh: Mesh, axis: str = "data",
     how many of that device's unique requested rows exceeded the per-owner
     capacity this step (their embeddings are zeros).  All-zero under
     ``capacity_factor=None``.
+
+    OOB ids are CLIPPED to [0, R) up front - the invariant every gather
+    path shares (jnp.take mode='clip', the row-DMA kernel's contract,
+    bank_optimizer.sparse_bank_grads): out-of-vocab data reads the clip
+    row.  Unclipped, an id >= R would silently read zeros (its request
+    dropped) and a negative id would read device 0's first REQUESTED
+    row's embedding (round-4 review).
     """
     n = mesh.shape[axis]
     rows_per = bank.shape[0] // n
     d = bank.shape[1]
+    ids = jnp.clip(ids, 0, bank.shape[0] - 1)
     if ids.size == 0:  # every field lives in the side bank - nothing to do
         return (jnp.zeros((*ids.shape, d), bank.dtype),
                 jnp.zeros((n,), jnp.int32))

@@ -152,9 +152,18 @@ class EqPlan(NamedTuple):
     """Static shape info for the equality-GEMM duplicate combine
     (embeddings.eqgemm_combine): the lazy update reshapes the flat gather
     plan to ``[B, fields]`` and sums duplicates per field on the MXU instead
-    of sort+segment-sum (~7 ms of ~36-60 ns/index ops at N=82k on v5e)."""
+    of sort+segment-sum (~7 ms of ~36-60 ns/index ops at N=82k on v5e).
+
+    ``ranges``: per-field INCLUSIVE physical-row range ``(lo, hi)``.  The
+    combine is per-field, so a position whose id escapes its own field's
+    range (per-field out-of-vocab data: offset+raw lands in a NEIGHBOR
+    field's rows) is a cross-field duplicate the equality GEMMs cannot
+    see - _eq_combine drops those positions deterministically (round-4
+    review; racing them against the victim field's writers would lose one
+    side's gradient nondeterministically)."""
     fields: int
     shared: tuple  # ((phys_row, (field_idx, ...)), ...)
+    ranges: tuple  # ((lo, hi), ...) per field, inclusive physical rows
 
 
 # The equality GEMM materializes an [F, B, B] f32 tensor: F*B^2*4 bytes.
@@ -176,6 +185,68 @@ def use_eqgemm(eq_plan: EqPlan | None, n_ids: int) -> bool:
     cap = int(os.environ.get("SATRANS_EQGEMM_MAX_BYTES", EQGEMM_MAX_BYTES))
     bsz = n_ids // eq_plan.fields
     return eq_plan.fields * bsz * bsz * 4 <= cap
+
+
+def _eq_combine(flat_ids, g_rows, eq_plan: EqPlan, n_rows: int,
+                force_xla: bool):
+    """Equality-GEMM duplicate combine, shared by lazy_update and the
+    fused_eq path (one implementation - the two modes must not drift).
+
+    ``flat_ids`` are the RAW gather-plan ids ([B, F] lookup flattened
+    row-major).  Returns ``(g_pos, tgt)``: per-position row totals and
+    commit targets where every position of the same physical row carries a
+    bit-identical value (the duplicate-tolerant scatters' precondition)
+    and every tgt is IN RANGE - so callers keep the fast UNPREDICATED
+    row-DMA scatter (drop_oob predication measured +2.1 ms/step on the
+    v5e headline).
+
+    Out-of-contract positions - an id outside its OWN field's physical-row
+    range (per-field out-of-vocab data, incl. negative and bank-level-OOB
+    ids) - alias a NEIGHBOR field's rows: a cross-field duplicate the
+    per-field equality GEMMs cannot combine, so racing it against the
+    victim field's writer would lose one side's gradient
+    nondeterministically (round-4 review).  Instead each such position is
+    REDIRECTED to the first in-contract position's (row, total): a
+    redundant bit-identical write of a row that is being written anyway,
+    i.e. the OOV contribution is deterministically dropped with zero
+    hot-path cost.  (Degenerate all-positions-OOV batch: everything
+    redirects to ``clip(flat_ids[0])`` with position 0's per-field total -
+    one spurious touch of one row on garbage-only data.)  Per-field
+    equality groups are disjoint across ids, so no masking of ``g_rows``
+    is needed: a dropped position's gradient can only ever land in its own
+    (dropped) group's total.  Boundary rows genuinely shared by two fields
+    are in BOTH ranges and get one broadcast cross-field total
+    (eqgemm_combine's ``shared_rows``).  ``force_xla`` pins the combine to
+    the einsum (the opaque Pallas eqgemm cannot be SPMD-partitioned under
+    a mesh).
+
+    The value redirect (an [N, W] select) measured ~0.16 ms (~0.6%) on
+    the v5e headline; pipelines that VALIDATE per-field in-vocab ids at
+    ingestion (both bundled dataset pipelines remap ids in-range by
+    construction) can set ``SATRANS_EQ_OOV=trust`` to skip it - under
+    that precondition the two paths are identical programs modulo a clip.
+    """
+    n = flat_ids.shape[0]
+    fl = eq_plan.fields
+    bsz = n // fl
+    w = g_rows.shape[1]
+    ids_fb = flat_ids.reshape(bsz, fl).T                      # [F, B]
+    g_fb = g_rows.reshape(bsz, fl, w).transpose(1, 0, 2)      # [F, B, W]
+    s = embeddings.eqgemm_combine(ids_fb, g_fb, eq_plan.shared,
+                                  impl="xla" if force_xla else None)
+    g_pos = s.transpose(1, 0, 2).reshape(n, w)
+    if os.environ.get("SATRANS_EQ_OOV", "redirect") == "trust":
+        return g_pos, jnp.clip(flat_ids, 0, n_rows - 1)
+    lo = jnp.asarray([r[0] for r in eq_plan.ranges],
+                     ids_fb.dtype)[:, None]
+    hi = jnp.asarray([r[1] for r in eq_plan.ranges],
+                     ids_fb.dtype)[:, None]
+    ok = ((ids_fb >= lo) & (ids_fb <= hi)).T.reshape(n)       # flat order
+    safe_idx = jnp.argmax(ok)            # first in-contract position
+    safe_id = jnp.clip(flat_ids[safe_idx], 0, n_rows - 1)
+    tgt = jnp.where(ok, flat_ids, safe_id)
+    g_pos = jnp.where(ok[:, None], g_pos, g_pos[safe_idx])
+    return g_pos, tgt
 
 
 def make_eq_plan(model) -> EqPlan | None:
@@ -214,7 +285,8 @@ def make_eq_plan(model) -> EqPlan | None:
         return None
     return EqPlan(fields=len(li),
                   shared=tuple((p, tuple(sorted(fs)))
-                               for p, fs in sorted(shared.items())))
+                               for p, fs in sorted(shared.items())),
+                  ranges=tuple(ranges))
 
 
 def eligible(model, params) -> bool:
@@ -321,9 +393,9 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     own order-nondeterministic CUDA ``scatter_add_``, so this is reduction
     -order freedom, not a semantic deviation (PARITY.md).  Every position
     then carries its row's bit-identical total, so the duplicate-tolerant
-    scatter-set commits per POSITION (no unique pass).  OOB ids keep
-    dense/fused drop semantics: their totals never merge into in-range
-    rows (equality is per raw id) and their writes are dropped.
+    scatter-set commits per POSITION (no unique pass).  Out-of-contract
+    ids (per-field OOV, incl. negative and bank-level OOB) are dropped
+    deterministically by :func:`_eq_combine` - see its docstring.
     """
     bank = params["emb"]["bank"]
     _, adam = _find_adam_state(opt_state)
@@ -333,27 +405,20 @@ def fused_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
 
     # touched rows, computed from PRE-update values with the full gradient
     if use_eqgemm(eq_plan, flat_ids.shape[0]):
-        n = flat_ids.shape[0]
-        fl = eq_plan.fields
-        bsz = n // fl
-        w = g_rows.shape[1]
-        # gather-plan order is a [B, F] lookup flattened row-major
-        # mesh callers (force_xla) must pin the combine to the einsum too:
-        # the opaque Pallas eqgemm (env SATRANS_EQGEMM=pallas) cannot be
-        # SPMD-partitioned, same as the gather/scatter kernels
-        s = embeddings.eqgemm_combine(
-            flat_ids.reshape(bsz, fl).T,
-            g_rows.reshape(bsz, fl, w).transpose(1, 0, 2),
-            eq_plan.shared, impl="xla" if force_xla else None)
-        gu = s.transpose(1, 0, 2).reshape(n, w)
-        oob = (flat_ids < 0) | (flat_ids >= bank.shape[0])
-        u_safe = jnp.clip(flat_ids, 0, bank.shape[0] - 1)
-        tgt = jnp.where(oob, bank.shape[0], flat_ids)
+        gu, tgt = _eq_combine(flat_ids, g_rows, eq_plan, bank.shape[0],
+                              force_xla)
+        u_safe = tgt                 # _eq_combine returns in-range targets
         unique = sorted_ids = False
     else:
         u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
-        u_safe = jnp.where(valid, u, 0)
-        tgt = jnp.where(valid, u, bank.shape[0])
+        # clip for the ROW READS only (the Pallas gather requires in-range
+        # ids; an OOB/negative data id would DMA outside the arrays).  The
+        # WRITE keeps drop semantics; negatives are sentineled explicitly
+        # because XLA's .at[].set(mode='drop') WRAPS them numpy-style
+        # (writing the LAST row) while the row-DMA kernel predicates them
+        # off - the sentinel makes both impls drop identically.
+        u_safe = jnp.clip(jnp.where(valid, u, 0), 0, bank.shape[0] - 1)
+        tgt = jnp.where(valid & (u >= 0), u, bank.shape[0])
         unique = sorted_ids = True
     w_u, m_u, v_u = gather_rows_impl(
         (bank, mu_b, nu_b), u_safe,
@@ -431,50 +496,47 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     XLA or the racing row-DMA kernel - store one well-defined value.  Same
     update values as the sort path up to f32 summation order.
 
-    OOB ids (out-of-vocab data rows) are clipped to the last bank row up
-    front, mirroring the forward gather's clip semantics, so every scatter
-    (bank/mu/nu/last, Pallas or XLA) sees identical in-range ids.  (The
-    dense/fused paths instead DROP the OOB backward contribution - torch
-    scatter semantics; lazy is already a documented deviation and clipping
-    keeps its four scatters mutually consistent.)
+    Out-of-contract ids: on the SORT path, bank-level OOB ids (out-of-vocab
+    data rows) are clipped to the last bank row, mirroring the forward
+    gather's clip semantics, so every scatter (bank/mu/nu/last, Pallas or
+    XLA) sees identical in-range ids.  On the EQ-GEMM path, any position
+    whose id escapes its OWN field's row range (incl. negatives and
+    bank-level OOB) has its contribution DROPPED deterministically via a
+    redirect - see :func:`_eq_combine`; clipping them would collide
+    distinct fields' OOV positions on the last row with non-identical
+    totals, breaking the racing scatter's bit-identity precondition.
+    (The dense/fused paths DROP the OOB backward contribution - torch
+    scatter semantics; lazy is already a documented deviation.)
     """
     bank = params["emb"]["bank"]
     rest_state, b = opt_state
     count_inc = b["count"] + 1
-    flat_ids = jnp.clip(flat_ids, 0, bank.shape[0] - 1)
 
-    updates, rest_state = optimizer.update(g_rest, rest_state,
-                                           _split_bank(params)[0])
-    rest_new = optax.apply_updates(_split_bank(params)[0], updates)
+    rest = _split_bank(params)[0]
+    updates, rest_state = optimizer.update(g_rest, rest_state, rest)
+    rest_new = optax.apply_updates(rest, updates)
 
     tail = "split" if force_xla else _lazy_tail_impl()
     if use_eqgemm(eq_plan, flat_ids.shape[0]):
         n = flat_ids.shape[0]
-        fl = eq_plan.fields
-        bsz = n // fl
-        w = g_rows.shape[1]
-        # gather-plan order is a [B, F] lookup flattened row-major.
-        # force_xla pins the combine to the einsum (the opaque Pallas
-        # eqgemm cannot be SPMD-partitioned under a mesh)
-        s = embeddings.eqgemm_combine(
-            flat_ids.reshape(bsz, fl).T,
-            g_rows.reshape(bsz, fl, w).transpose(1, 0, 2),
-            eq_plan.shared, impl="xla" if force_xla else None)
-        g_pos = s.transpose(1, 0, 2).reshape(n, w)
+        g_pos, tgt0 = _eq_combine(flat_ids, g_rows, eq_plan,
+                                  bank.shape[0], force_xla)
         if (not force_xla and tail == "split"
                 and _scatter_impl() in ("pallas", "interpret")):
             # The racing row-DMA scatter is order-independent (duplicate
             # positions carry bit-identical totals), so the per-step
             # lax.sort of 82k ids + the [N, W] payload permute buy nothing
             # - skip them (measured win, docs/PERFORMANCE.md r4).
-            tgt, gu, sorted_ids = flat_ids, g_pos, False
+            tgt, gu, sorted_ids = tgt0, g_pos, False
         else:
             tgt, order = jax.lax.sort(
-                (flat_ids, jax.lax.iota(jnp.int32, n)))
+                (tgt0, jax.lax.iota(jnp.int32, n)))
             gu = jnp.take(g_pos, order, axis=0)
             sorted_ids = True
-        u_safe, valid, unique = tgt, None, False
+        u_safe = tgt                 # _eq_combine returns in-range targets
+        valid, unique = None, False
     else:
+        flat_ids = jnp.clip(flat_ids, 0, bank.shape[0] - 1)
         u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
         u_safe = jnp.where(valid, u, 0)
         tgt = jnp.where(valid, u, bank.shape[0])
@@ -520,11 +582,11 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
 
         impl = "xla" if force_xla else _scatter_impl()
         if not unique and impl in ("pallas", "interpret"):
-            # EqPlan path: every position is a REAL in-range row (ids
-            # clipped above; no drop sentinel) and duplicate positions
-            # carry bit-identical values (eqgemm_combine's shared-row
-            # totals) - exactly the precondition of the row-DMA kernel
-            # (ops/pallas/scatter.py).
+            # EqPlan path: every position is in range with a bit-identical
+            # value per row (_eq_combine redirects out-of-contract
+            # positions; eqgemm_combine broadcasts shared-row totals) -
+            # exactly the racing row-DMA kernel's precondition, and NO
+            # drop predication (measured +2.1 ms/step).
             new_bank, new_mu, new_nu = pallas_scatter().scatter_rows_set(
                 (bank, b["mu"], b["nu"]), tgt, (w_u2, m_u2, v_u2),
                 interpret=impl == "interpret")

@@ -278,14 +278,23 @@ class Trainer:
             # uses the kernels shard-LOCALLY in parallel/bank_sharded.py)
             force_xla = self.mesh is not None
             gather_fn = None
+            # trace-time cell: the alltoall gather_fn deposits its overflow
+            # tracer here during the SAME train_step trace that reads it
+            # back below, so the count reaches stats without widening the
+            # gather_fn contract (it was silently discarded before -
+            # round-4 review; zero-embedding overflows must be visible,
+            # like bank_overflow and the AUC retry are)
+            exchange_ov_cell: list = []
             if self.embedding_exchange == "alltoall":
                 from ..parallel import embedding_sharded as _es
                 mesh = self.mesh
                 xcapf = self.exchange_capacity_factor
 
                 def gather_fn(bank, flat_ids):
-                    emb, _ = _es.alltoall_lookup(bank, flat_ids, mesh,
-                                                 capacity_factor=xcapf)
+                    emb, ov = _es.alltoall_lookup(bank, flat_ids, mesh,
+                                                  capacity_factor=xcapf)
+                    exchange_ov_cell.clear()
+                    exchange_ov_cell.append(jnp.sum(ov))
                     return emb
             elif self.mesh is None:
                 # single device: the row-DMA gather kernel reads the
@@ -326,6 +335,8 @@ class Trainer:
                          "count": jnp.sum(weight)}
                 if lazy_sharded:
                     stats["bank_overflow"] = overflow
+                if exchange_ov_cell:
+                    stats["exchange_overflow"] = exchange_ov_cell[0]
                 return params, opt_state, new_state, stats
         else:
             def train_step(params, opt_state, state, batch, y, weight, rng):
@@ -589,6 +600,12 @@ class Trainer:
                                                              "aux_loss": 0.0}
             total = float(a["loss"]) + float(a["reg_loss"]) + float(a["aux_loss"])
             epoch_logs = {"loss": total / max(seen, 1)}
+            # overflow counters (sharded-lazy commit / alltoall exchange):
+            # zero-embedding or dropped-row events must be VISIBLE, never
+            # silent - surface the epoch totals in History
+            for key in ("bank_overflow", "exchange_overflow"):
+                if acc is not None and key in a:
+                    epoch_logs[key] = float(a[key])
             if validation_data is not None:
                 val = self.evaluate(*validation_data, batch_size=batch_size * 4)
                 epoch_logs.update({f"val_{k}": v for k, v in val.items()})

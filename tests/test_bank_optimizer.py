@@ -211,6 +211,103 @@ def test_fused_eq_pallas_scatter_matches_xla(monkeypatch):
     _assert_tree_close(s_x, s_p, atol=0, rtol=0)
 
 
+def test_eq_combine_drops_per_field_oov():
+    """A per-field OOV id aliases a NEIGHBOR field's row - a cross-field
+    duplicate the per-field equality GEMMs cannot combine.  _eq_combine
+    must DROP that position deterministically (round-4 review: racing it
+    against the victim field's writer lost one side's gradient), leaving
+    the victim row exactly the victim field's own update.  Ground truth:
+    the sort-combine run with the OOV position replaced by a zero-grad
+    duplicate of another already-touched row (identical touch set and
+    totals)."""
+    from satrans_tpu.train import bank_optimizer
+    import optax
+
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    x, y = synthetic_data(n=256, num_sparse=3, vocab=300)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4)
+    plan = bank_optimizer.make_eq_plan(model)
+    assert plan is not None and len(plan.ranges) == plan.fields == 3
+
+    params, _ = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-8)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    flat_ids = np.array(
+        embeddings.bank_gather_plan(params["emb"], layout, batch))
+    F = plan.fields
+    # field-0 of sample 0 carries an id INSIDE field 1's row range (not a
+    # boundary-shared row), and field-1 of sample 5 genuinely touches it
+    victim = plan.ranges[1][0] + 2
+    assert victim > plan.ranges[0][1]          # truly outside field 0
+    flat_ids[0 * F + 0] = victim
+    flat_ids[5 * F + 1] = victim
+    rng = np.random.default_rng(0)
+    g_rows = rng.normal(size=(flat_ids.shape[0],
+                              params["emb"]["bank"].shape[1])
+                        ).astype(np.float32)
+    g_rest = jax.tree.map(jnp.zeros_like,
+                          bank_optimizer._split_bank(params)[0])
+
+    # ground truth: OOV position -> zero-grad duplicate of another
+    # in-range field-0 row (same touch set, same totals, sort combine)
+    ids_ref = flat_ids.copy()
+    g_ref = g_rows.copy()
+    ids_ref[0 * F + 0] = flat_ids[1 * F + 0]
+    g_ref[0 * F + 0] = 0.0
+
+    opt_state = bank_optimizer.lazy_init(opt, params)
+    p_eq, s_eq = bank_optimizer.lazy_update(
+        opt, params, opt_state, jnp.asarray(flat_ids), jnp.asarray(g_rows),
+        g_rest, lr=0.01, l2=1e-4, eq_plan=plan)
+    p_ref, s_ref = bank_optimizer.lazy_update(
+        opt, params, opt_state, jnp.asarray(ids_ref), jnp.asarray(g_ref),
+        g_rest, lr=0.01, l2=1e-4)
+    np.testing.assert_allclose(np.asarray(p_eq["emb"]["bank"]),
+                               np.asarray(p_ref["emb"]["bank"]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_eq[1]["last"]),
+                                  np.asarray(s_ref[1]["last"]))
+
+    # same contract on the fused_eq path (vs the sort-combine fused)
+    opt_state_f = opt.init(params)
+    pf_eq, sf_eq = bank_optimizer.fused_update(
+        opt, params, opt_state_f, jnp.asarray(flat_ids),
+        jnp.asarray(g_rows), g_rest, lr=0.01, l2=1e-4, eq_plan=plan)
+    pf_ref, sf_ref = bank_optimizer.fused_update(
+        opt, params, opt_state_f, jnp.asarray(ids_ref), jnp.asarray(g_ref),
+        g_rest, lr=0.01, l2=1e-4)
+    _assert_tree_close(pf_eq, pf_ref, atol=2e-5, rtol=1e-4)
+    _assert_tree_close(sf_eq, sf_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_scatter_drop_oob_skips_negative_ids():
+    """drop_oob predicates on 0 <= id < R: a negative id must be skipped,
+    not DMA'd before the array base (round-4 review)."""
+    from satrans_tpu.ops.pallas import scatter as pallas_scatter
+
+    rng = np.random.default_rng(5)
+    rows, w, n = 64, 128, 32
+    ids = rng.choice(rows, size=n, replace=False).astype(np.int32)
+    ids[3] = -1
+    ids[7] = -2_000_000
+    ids[11] = rows          # sentinel
+    vals = rng.normal(size=(n, w)).astype(np.float32)
+    a = jnp.asarray(rng.normal(size=(rows, w)).astype(np.float32))
+    got = pallas_scatter.scatter_rows_set(
+        (a,), jnp.asarray(ids), (jnp.asarray(vals),),
+        rb=16, interpret=True, drop_oob=True)[0]
+    # NOTE the oracle sentinels negatives first: XLA .at[].set(mode='drop')
+    # WRAPS negative ids numpy-style (only >= R is dropped), so raw -1
+    # would hit the last row - which is why callers sentinel negatives
+    # before XLA scatters and the kernel predicates them off itself
+    want = a.at[np.where(ids < 0, rows, ids)].set(vals, mode="drop")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_auto_resolves_to_dense_for_now():
     # auto stays 'dense' until the sparse combine is faster on-chip
     # (see Trainer._resolve_bank_mode)
@@ -638,7 +735,8 @@ def test_eqgemm_batch_cap_engages_sort_path(monkeypatch):
     from satrans_tpu.train import bank_optimizer
     import optax
 
-    plan = bank_optimizer.EqPlan(fields=10, shared=())
+    plan = bank_optimizer.EqPlan(fields=10, shared=(),
+                                 ranges=((0, 10**9),) * 10)
     assert bank_optimizer.use_eqgemm(plan, 10 * 8192)       # 2.7 GB <= 4 GB
     assert not bank_optimizer.use_eqgemm(plan, 10 * 32768)  # 43 GB > 4 GB
     assert not bank_optimizer.use_eqgemm(None, 10 * 128)
