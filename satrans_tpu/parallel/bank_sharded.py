@@ -24,6 +24,15 @@ under a ``jax.sharding.Mesh`` with the bank row-sharded
   device, and the row scatter can use the Pallas row-DMA kernel
   (ops/pallas/scatter.py) on each shard.
 
+MAINTENANCE NOTE: this module and ``embedding_sharded.alltoall_lookup``
+both implement "bucket sorted entries by owner into a capacity-capped
+[n, C] table and all_to_all it", with deliberately different slotting
+derivations (cumsum-of-valid here vs searchsorted first_pos there) tuned
+to their payloads.  They MUST agree on the ownership rule
+(``r // (R/n)``), the drop/overflow conventions, and the clip-row OOB
+semantics - change one, check the other (each has its own equality
+tests, which is the real guard).
+
 Semantics match single-device ``lazy_update`` exactly up to f32 summation
 order (local-then-owner duplicate combine vs one global sort) - tested by
 ``tests/test_bank_optimizer.py::test_lazy_under_mesh_matches_single``.

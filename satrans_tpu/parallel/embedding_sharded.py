@@ -26,6 +26,11 @@ round-1 schedule this replaces (all-gather ids + psum a full-global-batch
 partial-embedding tensor) moved ``O(n * N * d)`` per device and was
 strictly worse than the SPMD default beyond a few chips.
 
+MAINTENANCE NOTE: ``bank_sharded.lazy_routed_update`` implements the same
+owner-bucketing exchange for the UPDATE direction with a different
+slotting derivation - the two must agree on ownership (``r // (R/n)``),
+overflow conventions, and clip-row OOB semantics (see its module doc).
+
 Static shapes force a fixed per-destination capacity ``C``; a batch whose
 unique-id ownership is skewed beyond ``C`` overflows.  Overflowed requests
 return zero rows and are COUNTED (second return value) so callers can
