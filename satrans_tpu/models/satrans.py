@@ -89,7 +89,11 @@ class SATrans:
     use_fused_kernel: bool | None = None
     # 128 measured best on v5e under both attention variants
     # (docs/PERFORMANCE.md); env SATRANS_BLOCK_B overrides for sweeps.
-    fused_block_b: int = int(os.environ.get("SATRANS_BLOCK_B", "128"))
+    fused_block_b: int = dataclasses.field(
+        # read PER INSTANCE (a plain default would bake the env value in
+        # at import time, ignoring later os.environ changes in sweeps)
+        default_factory=lambda: int(os.environ.get("SATRANS_BLOCK_B",
+                                                   "128")))
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     def __post_init__(self):
@@ -101,6 +105,23 @@ class SATrans:
             raise ValueError(
                 f"meta_dnn_hidden_units must end with embedding_dim={d} for "
                 f"the MetaNet residual, got {self.meta_dnn_hidden_units}")
+        if d % self.att_head_num:
+            # the reference crashes in torch.stack(torch.split(...)) on a
+            # non-dividing head count; fail at construction instead (the
+            # fused kernel's lane masks would otherwise silently zero the
+            # remainder lanes)
+            raise ValueError(
+                f"embedding_dim={d} must divide att_head_num="
+                f"{self.att_head_num}")
+        if self.only_emb and self.use_pos:
+            # 'pos' concatenates position embeddings BEFORE the scenario
+            # encoder (satrans.py:167-171); 'onlyemb' removes that encoder
+            # (the scenario table holds the meta params directly,
+            # satrans.py:173-176).  Combined, the pos columns would be
+            # silently sliced off downstream - reject the contradiction.
+            raise ValueError("only_emb and use_pos are mutually exclusive "
+                             "(onlyemb has no scenario encoder to consume "
+                             "the position embeddings)")
         if self.variant == "bilinear":
             self.meta_param_size = (d * d) // self.att_head_num
         elif self.variant == "gate":
@@ -113,7 +134,12 @@ class SATrans:
 
     # ------------------------------------------------------------------
     def init(self, key):
-        ks = iter(jax.random.split(key, 16))
+        # 16 keys cover stacks up to 8 layers (emb, domain_emb, encoder,
+        # 2x pos tables, L layers, domain_bank, head); deeper stacks need
+        # more.  max() keeps the split count - and therefore every derived
+        # key and the pinned golden AUCs - unchanged for existing configs.
+        ks = iter(jax.random.split(key,
+                                   max(16, self.domain_att_layer_num + 8)))
         p: dict = {}
         p["emb"] = embeddings.bank_init(
             next(ks), self.layout,
@@ -185,10 +211,14 @@ class SATrans:
 
     def _meta_params_per_example(self, p, batch):
         """Faithful path for multi-scenario-column: per-example [B, P]."""
-        cols = [self.layout.sparse_index(c) for c in self.domain_cols]
-        all_emb = embeddings.lookup_sparse(p["domain_bank"], self.layout,
-                                           batch["sparse"])  # one gather
-        domain_emb = jnp.mean(all_emb[:, jnp.asarray(cols)], axis=1)  # [B, d]
+        # gather ONLY the scenario columns (round-4 review: the full
+        # lookup_sparse materialized [B, S, d] to keep 2 of S columns -
+        # ~10x wasted gather bandwidth on the hot path)
+        cols = [embeddings.lookup_field(
+                    p["domain_bank"], self.layout, c,
+                    batch["sparse"][:, self.layout.sparse_index(c)])
+                for c in self.domain_cols]
+        domain_emb = jnp.mean(jnp.stack(cols, axis=1), axis=1)  # [B, d]
         domain_emb = jax.nn.relu(domain_emb)
         L = self.domain_att_layer_num
         if not self.use_pos:
@@ -221,7 +251,12 @@ class SATrans:
         domain_ids = batch["sparse"][:, self.layout.sparse_index(self.domain_cols[0])]
         if single_col:
             tables = self._meta_param_tables(p)
-            dom = domain_ids
+            # clip once so every meta path agrees on out-of-range domain
+            # ids: the gather fast path (w[dom]) clamps under jit while
+            # one_hot(dom) would give an all-zero row (a silent no-op
+            # transform) - clipping makes fused/dense_select/gather
+            # predictions identical on the same data
+            dom = jnp.clip(domain_ids, 0, self.num_domains)
         else:
             tables = self._meta_params_per_example(p, batch)
             dom = None
@@ -246,7 +281,6 @@ class SATrans:
                          and cdtype in (jnp.float32, jnp.bfloat16))
             # SATRANS_FUSED=0 disables auto mode; jax.default_backend() is
             # static under trace.
-            import os
             if fused is None:
                 fused = (supported and jax.default_backend() == "tpu"
                          and os.environ.get("SATRANS_FUSED", "1") != "0")

@@ -152,6 +152,11 @@ def meta_transformer_init(key, dim: int, meta_units: Sequence[int], *,
         p["q_meta"] = metanet.init(ks[5], dim, use_norm=True)
         if not share_kv_metanet:
             p["k_meta"] = metanet.init(ks[6], dim, use_norm=True)
+            # Quirk, kept deliberately: initialized but NEVER applied -
+            # the reference's V_meta_mlp (satrans.py:48) is dead weight
+            # too (its forward checks only 'Q'/'K' in mode, satrans.py:
+            # 60-73), and meta_transformer_apply matches.  Kept so param
+            # trees/checkpoints mirror the reference's state_dict shape.
             p["v_meta"] = metanet.init(ks[7], dim, use_norm=True)
     return p
 

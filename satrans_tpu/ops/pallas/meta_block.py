@@ -155,23 +155,6 @@ def _expand_const(D: int, block: int):
     return (jj // block == dd).astype(F32)
 
 
-def _fold_const(D: int, block: int):
-    """[D*block, block] 0/1 matrix summing same-offset lanes across blocks."""
-    jj = jax.lax.broadcasted_iota(jnp.int32, (D * block, block), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (D * block, block), 1)
-    return (jj % block == cc).astype(F32)
-
-
-def _block_select(wide, onehot_rows, D: int, block: int):
-    """Select each row's domain block from ``wide [N, D*block] -> [N, block]``
-    via constant-matrix matmuls (no lane-split reshape, which Mosaic cannot
-    lower)."""
-    mask = jnp.dot(onehot_rows, _expand_const(D, block),
-                   preferred_element_type=F32)           # [N, D*block]
-    return jnp.dot(wide * mask, _fold_const(D, block),
-                   preferred_element_type=F32)           # [N, block]
-
-
 def _meta_apply(t0, w1cat, w2stack, onehot_rows, D: int, h: int, d: int):
     """relu(t0 @ W1[dom]) @ W2[dom] with the selection IMPLICIT in a masked
     wide GEMM - no per-domain gather, no fold matmuls.
@@ -988,6 +971,11 @@ def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
      attn_cap, stash, stash_dtype) = cfg
+    if B % block_b:
+        # a non-dividing batch would leave the tail rows of the output
+        # uninitialized HBM (grid floor-divides) - fail loudly like the
+        # inference-only fused_meta_layer does
+        raise ValueError(f"batch {B} must divide block_b {block_b}")
     g_att = _attn_group(block_b, F_, attn_cap)
     mask = _block_mask(block_b // g_att, g_att, F_,
                        f_real if f_real is not None else F_)

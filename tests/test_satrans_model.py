@@ -137,3 +137,32 @@ def test_variant_training_step(kw):
     tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
     pred = tr.predict(x, batch_size=128)
     assert np.isfinite(pred).all()
+
+
+def test_invalid_configs_rejected():
+    """Round-4 review: configs the reference would crash on (or silently
+    degrade) are rejected at construction."""
+    import pytest
+    from satrans_tpu.data.synthetic import synthetic_columns
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    kw = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+              domain_att_layer_num=1, meta_dnn_hidden_units=(16, 8))
+    with pytest.raises(ValueError, match="att_head_num"):
+        SATrans(att_head_num=3, **kw)   # 8 % 3 != 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SATrans(att_head_num=2, only_emb=True, use_pos=True, **kw)
+
+
+def test_deep_stack_init_has_enough_keys():
+    """init() splits keys by the actual need (round-4 review: a fixed 16
+    raised StopIteration for deep pos+multicol stacks)."""
+    from satrans_tpu.data.synthetic import synthetic_columns
+    cols = synthetic_columns(num_sparse=3, vocab=300, dim=8)
+    layout = FeatureLayout(cols)
+    m = SATrans(layout=layout, domain_cols=["domain", "s0"],
+                num_domains_list=[3, 300], domain_att_layer_num=10,
+                att_head_num=2, use_pos=True,
+                meta_dnn_hidden_units=(16, 8))
+    params, _ = m.init(jax.random.PRNGKey(0))
+    assert len(params["layers"]) == 10
