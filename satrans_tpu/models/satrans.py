@@ -268,17 +268,28 @@ class SATrans:
                     blk = cand
                     break
             # What the kernel supports: single scenario column, metanet
-            # variant, QK mode (shared AND 'pos' per-(layer,qkv) tables -
-            # the kernel carries separate Q/K MetaNet weights+LNs), no
-            # relu-out, a 2-matrix MetaNet ([d, h, d] units), no score
-            # return.  bf16 is fine (f32 internals; only layer boundaries
-            # narrow).
-            supported = (single_col and self.variant == "metanet"
-                         and self.meta_mode == "QK"
-                         and not self.relu_out and not return_scores
-                         and len(self.meta_units) == 3
+            # variant, QK-or-QKV mode (shared AND 'pos' per-(layer,qkv)
+            # tables - the kernel carries separate Q/K MetaNet weights+LNs;
+            # 'QKV' is compute-identical to 'QK' because the reference
+            # never meta-transforms V in the metanet variant - its forward
+            # checks only 'Q'/'K' in mode, reference satrans.py:61-75, and
+            # V_meta_mlp is dead weight), optional relu-out ('relu' flag,
+            # reference satrans.py:91-92), a 2-matrix MetaNet ([d, h, d]
+            # units), no score return.  bf16 is fine (f32 internals; only
+            # layer boundaries narrow).
+            # The 'gate'/'bilinear' variants ride their own lighter kernel
+            # (ops/pallas/gate_block.py): same packed attention/out block,
+            # scenario transform swapped for the per-domain gate (reference
+            # satrans.py:61-66) resp. block-diagonal bilinear map
+            # (satrans.py:79-81).
+            common_ok = (single_col and not return_scores
                          and blk is not None
                          and cdtype in (jnp.float32, jnp.bfloat16))
+            metanet_ok = (common_ok and self.variant == "metanet"
+                          and self.meta_mode in ("QK", "QKV")
+                          and len(self.meta_units) == 3)
+            simple_ok = common_ok and self.variant in ("gate", "bilinear")
+            supported = metanet_ok or simple_ok
             # SATRANS_FUSED=0 disables auto mode; jax.default_backend() is
             # static under trace.
             if fused is None:
@@ -291,18 +302,29 @@ class SATrans:
         if fused:
             # weights stay f32 (the kernel computes in f32); only the
             # layer-boundary activations narrow under bf16 compute.
-            from ..ops.pallas import meta_block
+            from ..ops.pallas import gate_block, meta_block
             x = x.astype(cdtype)
             onehot = jax.nn.one_hot(dom, self.num_domains + 1,
                                     dtype=jnp.float32)
             for i, layer_p in enumerate(p["layers"]):
                 seed = jax.random.randint(jax.random.fold_in(rng, i), (),
                                           0, 2 ** 31 - 1, dtype=jnp.int32)
-                x = meta_block.fused_meta_layer_vjp(
-                    x, layer_p, tables[i], onehot,
-                    meta_units=self.meta_units, head_num=self.att_head_num,
-                    drop_rate=self.dropout_rate, train=train, seed=seed,
-                    block_b=blk, interpret=self.fused_interpret)
+                if self.variant == "metanet":
+                    x = meta_block.fused_meta_layer_vjp(
+                        x, layer_p, tables[i], onehot,
+                        meta_units=self.meta_units,
+                        head_num=self.att_head_num,
+                        drop_rate=self.dropout_rate, train=train, seed=seed,
+                        block_b=blk, interpret=self.fused_interpret,
+                        relu_out=self.relu_out)
+                else:
+                    x = gate_block.fused_simple_layer_vjp(
+                        x, layer_p, tables[i], onehot,
+                        variant=self.variant, mode=self.meta_mode,
+                        head_num=self.att_head_num,
+                        drop_rate=self.dropout_rate, train=train, seed=seed,
+                        block_b=blk, interpret=self.fused_interpret,
+                        relu_out=self.relu_out)
             flat = x.reshape(x.shape[0], -1).astype(jnp.float32)
             if self.layout.dense_dim > 0 and "dense" in batch:
                 flat = jnp.concatenate([flat, batch["dense"]], axis=1)

@@ -1,3 +1,3 @@
-from . import meta_block
+from . import gate_block, meta_block
 
-__all__ = ["meta_block"]
+__all__ = ["gate_block", "meta_block"]

@@ -297,7 +297,8 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
                  lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
                  mask_ref, *,
                  D: int, h: int, head_num: int, drop_rate: float, train: bool,
-                 f_real: int | None, attn_cap: int | None):
+                 f_real: int | None, attn_cap: int | None,
+                 relu_out: bool = False):
     """Shared forward body.  Returns ``(y, qkv, uq, uk, s_keep, o)`` -
     the extras are the stash-mode residuals (``uq``/``uk`` are the pre-LN
     sums, ``s_keep`` the PRE-dropout attention probabilities per head).
@@ -338,6 +339,10 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
                            attn_cap=attn_cap, mask=mask_ref[:])
     z = jnp.dot(o.reshape(TB * F_, d), wout_ref[:],
                 preferred_element_type=F32)
+    if relu_out:
+        # 'relu' flag: relu BEFORE dropout (reference satrans.py:91-92:
+        # ``self.dropout(F.relu(self.Out_linear(result)))``)
+        z = jax.nn.relu(z)
     if train and drop_rate > 0.0:
         z = z * _dropout_mask(z.shape, drop_rate)
     u = z.reshape(TB, F_, d) + x
@@ -349,12 +354,14 @@ def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
                 lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
                 mask_ref, out_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
-                f_real: int | None = None, attn_cap: int | None = None):
+                f_real: int | None = None, attn_cap: int | None = None,
+                relu_out: bool = False):
     y, *_ = _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
                          w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
                          wout_ref, lno_ref, mask_ref,
                          D=D, h=h, head_num=head_num, drop_rate=drop_rate,
-                         train=train, f_real=f_real, attn_cap=attn_cap)
+                         train=train, f_real=f_real, attn_cap=attn_cap,
+                         relu_out=relu_out)
     out_ref[:] = y.astype(out_ref.dtype)
 
 
@@ -364,7 +371,7 @@ def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
                       out_ref, qkv_ref, uq_ref, uk_ref, *rest, stash_s: bool,
                       D: int, h: int, head_num: int, drop_rate: float,
                       train: bool, f_real: int | None = None,
-                      attn_cap: int | None = None):
+                      attn_cap: int | None = None, relu_out: bool = False):
     """Forward that also stores the backward's residuals (see
     _bwd_kernel_stash): HBM traffic (~450 MB/layer at B=8192) bought back
     ~2x in skipped backward recompute on v5e (docs/PERFORMANCE.md r2).
@@ -379,7 +386,8 @@ def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
         seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref, lnq_ref,
         w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref, mask_ref,
         D=D, h=h, head_num=head_num,
-        drop_rate=drop_rate, train=train, f_real=f_real, attn_cap=attn_cap)
+        drop_rate=drop_rate, train=train, f_real=f_real, attn_cap=attn_cap,
+        relu_out=relu_out)
     out_ref[:] = y.astype(out_ref.dtype)
     qkv_ref[:] = qkv.reshape(TB, F_, 3 * d).astype(qkv_ref.dtype)
     uq_ref[:] = uq.reshape(TB, F_, d).astype(uq_ref.dtype)
@@ -419,7 +427,8 @@ def _pack_lns(layer_params, d: int):
 def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
                      meta_units, head_num: int, drop_rate: float = 0.1,
                      train: bool = False, seed: int = 0,
-                     block_b: int = 128, interpret: bool = False):
+                     block_b: int = 128, interpret: bool = False,
+                     relu_out: bool = False):
     """Forward of one meta-transformer layer (QK mode, dense-select).
 
     x: [B, F, d] fp32; layer_params: dict from attention.meta_transformer_init
@@ -443,7 +452,8 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
     grid = (B // block_b,)
 
     kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
-                               drop_rate=drop_rate, train=train)
+                               drop_rate=drop_rate, train=train,
+                               relu_out=relu_out)
     seed_arr = jnp.asarray([seed], jnp.int32)
     g_att = _attn_group(block_b, F_)
     mask = _block_mask(block_b // g_att, g_att, F_, F_)
@@ -537,7 +547,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
                 dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
                 dw1k_ref, dw2k_ref, dlnk_ref, dwout_ref, dlno_ref, *,
                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
-                f_real: int | None = None, attn_cap: int | None = None):
+                f_real: int | None = None, attn_cap: int | None = None,
+                relu_out: bool = False):
     TB, F_, d = x_ref.shape
     N = TB * F_
     dh = d // head_num
@@ -610,7 +621,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     o3 = sum(o_parts) if masked_attn \
         else jnp.concatenate(o_parts, axis=-1)   # [G, n, d]
     o2 = o3.reshape(N, d)
-    z = jnp.dot(o2, wout, preferred_element_type=F32)
+    zlin = jnp.dot(o2, wout, preferred_element_type=F32)
+    z = jax.nn.relu(zlin) if relu_out else zlin
     if use_drop:
         z = z * m_z
     u = z.reshape(TB, F_, d) + x
@@ -626,6 +638,8 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     dz = du.reshape(N, d)
     if use_drop:
         dz = dz * m_z
+    if relu_out:
+        dz = dz * (zlin > 0).astype(F32)
     dwout = jnp.dot(o2.T, dz, preferred_element_type=F32)
     do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
     do3 = do2.reshape(groups, n_attn, d)
@@ -721,7 +735,7 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
                       wout_ref, lno_ref, *rest, stash_s: bool,
                       D: int, h: int, head_num: int, drop_rate: float,
                       train: bool, f_real: int | None = None,
-                      attn_cap: int | None = None):
+                      attn_cap: int | None = None, relu_out: bool = False):
     """Backward consuming the forward's stashed residuals.
 
     Twin of :func:`_bwd_kernel` (same backward math - both are pinned to the
@@ -818,7 +832,8 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
                for hd, s in enumerate(s_list)]
 
     o2 = o_ref[:].reshape(N, d).astype(F32)
-    z = jnp.dot(o2, wout, preferred_element_type=F32)
+    zlin = jnp.dot(o2, wout, preferred_element_type=F32)
+    z = jax.nn.relu(zlin) if relu_out else zlin
     if use_drop:
         z = z * m_z
     u = z.reshape(TB, F_, d) + x
@@ -835,6 +850,8 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
     dz = du.reshape(N, d)
     if use_drop:
         dz = dz * m_z
+    if relu_out:
+        dz = dz * (zlin > 0).astype(F32)
     dwout = jnp.dot(o2.T, dz, preferred_element_type=F32)
     do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
     do3 = do2.reshape(groups, n_attn, d)
@@ -970,7 +987,7 @@ def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
     ``(y, qkv, uq, uk, s, o)``; otherwise just ``y``."""
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, stash, stash_dtype) = cfg
+     attn_cap, stash, stash_dtype, relu_out) = cfg
     if B % block_b:
         # a non-dividing batch would leave the tail rows of the output
         # uninitialized HBM (grid floor-divides) - fail loudly like the
@@ -993,7 +1010,8 @@ def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
         kern, out_shape, out_specs = _fwd_kernel, y_shape, y_spec
     kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
-                               f_real=f_real, attn_cap=attn_cap)
+                               f_real=f_real, attn_cap=attn_cap,
+                               relu_out=relu_out)
     with _interp_prng_scope(interpret):
         return pl.pallas_call(
             kernel,
@@ -1015,12 +1033,13 @@ def _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
               seed, g, cfg, stash_res=None):
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, stash, _stash_dtype) = cfg
+     attn_cap, stash, _stash_dtype, relu_out) = cfg
     kern = (functools.partial(_bwd_kernel_stash, stash_s=stash != "light")
             if stash else _bwd_kernel)
     kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
                                drop_rate=drop_rate, train=train,
-                               f_real=f_real, attn_cap=attn_cap)
+                               f_real=f_real, attn_cap=attn_cap,
+                               relu_out=relu_out)
     g_att = _attn_group(block_b, F_, attn_cap)
     if stash == "full":
         in_specs = _common_in_specs(block_b, F_, d, D, h)
@@ -1119,7 +1138,8 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                          block_b: int = 128, interpret: bool = False,
                          attn_cap: int | None = None,
                          bwd: str | None = None,
-                         stash_dtype: str | None = None):
+                         stash_dtype: str | None = None,
+                         relu_out: bool = False):
     """Differentiable fused layer.  The packing (concats/reshapes) happens
     outside the custom-vjp boundary so XLA autodiffs it, routing gradients
     back to the original parameter structure including the per-domain flat
@@ -1176,7 +1196,7 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                   "recompute": False}[bwd]
     cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
            f_real if pad_f else None, attn_cap, stash_mode,
-           jnp.bfloat16 if stash_dtype == "bf16" else F32)
+           jnp.bfloat16 if stash_dtype == "bf16" else F32, relu_out)
     seed_arr = jnp.asarray([seed], jnp.int32)
     y = _fused_layer(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
                      layer_params["wout"], lno,

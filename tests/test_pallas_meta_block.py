@@ -1,5 +1,7 @@
 """Fused meta-transformer kernel vs. the XLA reference (interpret mode)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -249,6 +251,196 @@ def test_satrans_fused_grads_match_unfused():
                                    err_msg=str(path))
 
 
+def test_satrans_qkv_mode_fused_and_identical_to_qk():
+    """meta_mode='QKV' rides the fused kernel and equals 'QK' exactly.
+
+    The reference never meta-transforms V in the metanet variant - its
+    forward checks only 'Q'/'K' in mode (reference satrans.py:61-75) and
+    V_meta_mlp is dead weight - so QKV and QK are the same program.  The
+    kernel support gate admits both; pin (a) QKV-fused == QKV-unfused and
+    (b) QKV == QK bitwise on the unfused path."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+
+    cols = synthetic_columns(num_sparse=5, vocab=50, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    kw = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+              domain_att_layer_num=2, att_head_num=4,
+              meta_dnn_hidden_units=(64, 32))
+    m_qk = SATrans(use_fused_kernel=False, meta_mode="QK", **kw)
+    m_qkv = SATrans(use_fused_kernel=False, meta_mode="QKV", **kw)
+    m_qkv_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                          fused_block_b=16, meta_mode="QKV", **kw)
+    # the gate must actually admit QKV (not silently fall back)
+    assert m_qkv_fused.use_fused_kernel is True
+    x, _ = synthetic_data(n=32, num_sparse=5, vocab=50)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_qk.init(jax.random.PRNGKey(0))
+    p_qk, _, _ = m_qk.apply(params, state, batch)
+    p_qkv, _, _ = m_qkv.apply(params, state, batch)
+    np.testing.assert_array_equal(np.asarray(p_qkv), np.asarray(p_qk))
+    p_fused, _, _ = m_qkv_fused.apply(params, state, batch)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_qkv),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(variant="gate"),
+    dict(variant="gate", meta_mode="Q"),       # K stays ungated
+    dict(variant="gate", use_pos=True),        # per-(layer,qkv) gates
+    dict(variant="gate", relu_out=True),
+    dict(variant="bilinear"),
+    dict(variant="bilinear", only_emb=True),
+])
+def test_satrans_gate_bilinear_fused_matches_unfused(kw):
+    """gate/bilinear variants (ops/pallas/gate_block.py) == XLA path,
+    forward and parameter grads (reference satrans.py:61-66, 79-81)."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import losses
+
+    cols = synthetic_columns(num_sparse=4, vocab=40, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    base = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+                domain_att_layer_num=2, att_head_num=4,
+                meta_dnn_hidden_units=(64, 32), **kw)
+    m_ref = SATrans(use_fused_kernel=False, **base)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                      fused_block_b=16, **base)
+    assert m_fused.use_fused_kernel is True, kw
+    x, y = synthetic_data(n=32, num_sparse=4, vocab=40)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    p_ref, _, _ = m_ref.apply(params, state, batch)
+    p_fused, _, _ = m_fused.apply(params, state, batch)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-5)
+    yb = jnp.asarray(y)
+
+    def grads(m):
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    # dropout off for grad equality (kernel PRNG vs XLA masks differ)
+    m_ref0 = dataclasses.replace(m_ref, dropout_rate=0.0)
+    m_fused0 = dataclasses.replace(m_fused, dropout_rate=0.0)
+    g_ref, g_fused = grads(m_ref0), grads(m_fused0)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        b = g_fused
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4,
+                                   err_msg=f"{kw} {path}")
+
+
+def test_gate_fused_train_dropout_deterministic_and_finite():
+    """Train-mode gate kernel: same seed -> identical output; grads under
+    dropout are finite (fwd/bwd PRNG draw-order self-consistency is what
+    the recompute backward depends on)."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import losses
+
+    cols = synthetic_columns(num_sparse=4, vocab=40, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    m = SATrans(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+                domain_att_layer_num=1, att_head_num=4,
+                meta_dnn_hidden_units=(64, 32), variant="gate",
+                dropout_rate=0.3, use_fused_kernel=True,
+                fused_interpret=True, fused_block_b=16)
+    x, y = synthetic_data(n=16, num_sparse=4, vocab=40)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m.init(jax.random.PRNGKey(0))
+    r = jax.random.PRNGKey(3)
+    p1, _, _ = m.apply(params, state, batch, train=True, rng=r)
+    p2, _, _ = m.apply(params, state, batch, train=True, rng=r)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def f(p):
+        pred, _, _ = m.apply(p, state, batch, train=True, rng=r)
+        return losses.bce_sum(pred, jnp.asarray(y))
+
+    g = jax.grad(f)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_fused_relu_out_dropout_bwd_modes_agree():
+    """relu_out + dropout: the three backward kernels (stash /
+    stash_light / recompute) must produce the same grads - each
+    regenerates the same PRNG masks and recomputes the relu mask from a
+    different starting point (stashed o vs full recompute)."""
+    x, params, tables, dom, onehot, units, _ = _setup(B=16, F=24)
+
+    def gr(bwd):
+        def f(x):
+            y = meta_block.fused_meta_layer_vjp(
+                x, params, tables, onehot, meta_units=units, head_num=4,
+                train=True, drop_rate=0.3, seed=7, block_b=16,
+                interpret=True, bwd=bwd, stash_dtype="f32", relu_out=True)
+            return jnp.sum(jnp.sin(y))
+        return jax.grad(f)(x)
+
+    base = np.asarray(gr("stash"))
+    assert np.abs(base).max() > 0  # not trivially zero
+    for mode in ("stash_light", "recompute"):
+        np.testing.assert_allclose(np.asarray(gr(mode)), base,
+                                   rtol=2e-4, atol=2e-5, err_msg=mode)
+
+
+def test_satrans_relu_out_fused_matches_unfused():
+    """'relu' flag (reference satrans.py:91-92): fused kernel == XLA path,
+    forward and parameter grads (dropout off: kernel PRNG and XLA masks
+    differ by design; the dropout interaction is covered by
+    test_fused_relu_out_dropout_bwd_modes_agree)."""
+    drop = 0.0
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import losses
+
+    cols = synthetic_columns(num_sparse=4, vocab=40, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    kw = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+              domain_att_layer_num=2, att_head_num=4,
+              meta_dnn_hidden_units=(64, 32), relu_out=True,
+              dropout_rate=drop)
+    m_ref = SATrans(use_fused_kernel=False, **kw)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                      fused_block_b=16, **kw)
+    assert m_fused.use_fused_kernel is True
+    x, y = synthetic_data(n=32, num_sparse=4, vocab=40)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    p_ref, _, _ = m_ref.apply(params, state, batch)
+    p_fused, _, _ = m_fused.apply(params, state, batch)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-5)
+    yb = jnp.asarray(y)
+
+    def grads(m):
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    g_ref, g_fused = grads(m_ref), grads(m_fused)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        b = g_fused
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4, err_msg=str(path))
+
+
 def test_forced_fused_falls_back_when_unsupported():
     """use_fused_kernel=True must transparently fall back (not crash or
     silently compute different math) for unsupported configs."""
@@ -260,8 +452,7 @@ def test_forced_fused_falls_back_when_unsupported():
     layout = FeatureLayout(cols)
     x, _ = synthetic_data(n=32, num_sparse=4, vocab=40)
     batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
-    for kw in (dict(variant="gate"),
-               dict(meta_mode="Q"),
+    for kw in (dict(meta_mode="Q"),  # metanet with K untransformed
                dict(meta_dnn_hidden_units=(64, 64, 32))):  # 3-matrix MetaNet
         ref = SATrans(layout=layout, domain_cols=["domain"],
                       num_domains_list=[3], domain_att_layer_num=1,
