@@ -71,7 +71,9 @@ def _transform(t0, t_ref, onehot_rows, *, variant: str, D: int, d: int):
                    preferred_element_type=F32)          # [N, D*d]
     hm = jnp.dot(t0, t_ref[:], preferred_element_type=F32) * mask
     y = jnp.dot(hm, _identity_stack(D, d), preferred_element_type=F32)
-    return y, (mask, hm)
+    # aux is just the mask: the recompute backward never reads hm, so
+    # returning it would only widen the kernel's live set
+    return y, mask
 
 
 def _transform_bwd(dt, t0, aux, t_ref, *, variant: str, D: int, d: int,
@@ -83,7 +85,7 @@ def _transform_bwd(dt, t0, aux, t_ref, *, variant: str, D: int, d: int,
         dtable = jnp.dot(onehot_rows.T, dt * t0 * 2.0,
                          preferred_element_type=F32)    # [D, d]
         return dt0, dtable
-    mask, _hm = aux
+    mask = aux
     dhm = jnp.dot(dt, _identity_stack(D, d).T,
                   preferred_element_type=F32) * mask    # [N, D*d]
     dt0 = jnp.dot(dhm, t_ref[:].T, preferred_element_type=F32)
@@ -397,7 +399,10 @@ def fused_simple_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     if variant == "gate":
         apply_q, apply_k = "Q" in mode, "K" in mode
         tq = meta_tables["Q"][:, :d]
-        tk = meta_tables.get("K", meta_tables["Q"])[:, :d]
+        # require an explicit K table whenever K is gated: silently reusing
+        # Q's gate under 'pos' (distinct per-qkv tables) would be
+        # wrong-but-plausible; tk is unread when apply_k is False.
+        tk = meta_tables["K"][:, :d] if apply_k else tq
     elif variant == "bilinear":
         apply_q, apply_k = True, False
         tq = _pack_bilinear(meta_tables["bilinear"], D, d, head_num)

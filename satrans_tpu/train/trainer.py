@@ -397,14 +397,27 @@ class Trainer:
         elig = (self._opt_is_adam
                 and bank_optimizer.eligible(self.model, self.params))
         if mode == "auto":
-            # 'dense' is the bit-exact reference path and works for every
-            # model/optimizer, so it stays the default.  'fused_eq' is
-            # ~1% faster at exact-parity SEMANTICS (eq-GEMM reduction
-            # order, PARITY.md) but only for eligible models - keeping
-            # auto deterministic beats chasing that margin; 'lazy' is
-            # 33% faster still but a documented deviation, so both stay
-            # opt-in (docs/PERFORMANCE.md r4).
-            mode = "dense"
+            if self.embedding_exchange == "alltoall":
+                # alltoall routes the bank read through the sparse gather
+                # plan, which 'dense' cannot serve - resolve auto to
+                # 'fused_eq', the recommended exact-parity mode there
+                # (docs/PERFORMANCE.md r4); 'lazy' stays explicit opt-in
+                # (documented optimizer-semantics deviation, PARITY.md).
+                if not elig:
+                    raise ValueError(
+                        "embedding_exchange='alltoall' needs a sparse "
+                        "bank-update mode, which requires the stock 'adam' "
+                        "optimizer and a standard_bank_access model "
+                        f"({type(self.model).__name__} is not) - use a "
+                        "replicated/rowshard exchange instead")
+                mode = "fused_eq"
+            else:
+                # 'dense' is the bit-exact reference path and works for
+                # every model/optimizer, so single-chip auto stays 'dense'
+                # deliberately: bit-exactness beats fused_eq's ~1% margin
+                # and 'lazy' is a documented deviation - both opt-in
+                # (docs/PERFORMANCE.md r4).
+                mode = "dense"
         elif mode in ("fused", "fused_eq", "lazy") and not elig:
             raise ValueError(
                 f"bank_update={mode!r} needs the stock 'adam' optimizer and "
@@ -414,7 +427,7 @@ class Trainer:
                 "fused", "fused_eq", "lazy"):
             raise ValueError("embedding_exchange='alltoall' routes the bank "
                              "read through the sparse gather plan - compile "
-                             "with bank_update='fused' or 'lazy'")
+                             "with bank_update='fused', 'fused_eq' or 'lazy'")
         self._bank_mode = mode
 
     def _ensure_initialized(self):
