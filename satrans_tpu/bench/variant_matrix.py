@@ -1,18 +1,20 @@
 """Throughput of every SATrans variant, fused where supported.
 
-The fused Pallas layers cover: variant='metanet' with meta_mode 'QK'/'QKV'
-(compute-identical; reference never meta-transforms V), shared or 'pos'
-tables, optional relu-out (ops/pallas/meta_block.py), and the 'gate' /
+The fused Pallas layers cover: variant='metanet' with ANY meta_mode
+(containment semantics - 'Query', the CLI/reference default, transforms
+Q only; 'QKV' is compute-identical to 'QK' since the reference never
+meta-transforms V), 2- AND 3-matrix MetaNets, shared or 'pos' tables,
+optional relu-out (ops/pallas/meta_block.py), and the 'gate' /
 'bilinear' scenario transforms (ops/pallas/gate_block.py) - all with a
-single scenario column.  Still XLA-path: meta_mode 'Q'/'K' alone,
-3-matrix MetaNets, and the multi-scenario-column variant (per-example
-meta params - the faithful semantics; see docs/PERFORMANCE.md).  This
+single scenario column (or multiple columns via the composite
+product-domain table when the domain product is small).  This
 tool pins one row per variant at the AliCCP sota shapes (19 fields, real
 vocabs, d=32, 3 layers, 4 heads, batch 8192), ``bank_update='lazy'``;
-``metanet_qk_xla`` forces the XLA path for the in-harness fused-vs-XLA
+``*_xla`` rows force the XLA path for the in-harness fused-vs-XLA
 delta.  History: VERDICT r3 weak #2 asked for these paths to be measured
 (round 4 first half); round 4 second half moved gate/bilinear/qkv/relu
-onto fused kernels.
+onto fused kernels; round 5 closed meta_mode 'Q'/'K' alone (the
+out-of-the-box default), 3-matrix MetaNets, and the multi-column path.
 
 Run: ``PYTHONPATH=/root/repo:/root/.axon_site \
       python -m satrans_tpu.bench.variant_matrix [out.json]``
@@ -56,6 +58,15 @@ VARIANTS = {
     # multi-column path, reference satrans.py multi-scenario variant)
     "multicol": ({"domain_cols": ["301", "122"],
                   "num_domains_list": [3, 13]}, "1"),
+    # round 5: the CLI/reference default meta_mode 'Query' (Q transformed,
+    # K raw - containment semantics) now rides the fused kernel
+    "query_only": ({"meta_mode": "Query"}, "1"),
+    "query_only_xla": ({"meta_mode": "Query"}, "0"),
+    "k_only": ({"meta_mode": "K"}, "1"),
+    # round 5: 3-matrix MetaNet (meta_dnn_hidden_units of length 3; the
+    # middle matrix rides block-diagonally in the kernel)
+    "metanet3": ({"meta_dnn_hidden_units": (64, 64, 32)}, "1"),
+    "metanet3_xla": ({"meta_dnn_hidden_units": (64, 64, 32)}, "0"),
 }
 
 
@@ -117,9 +128,17 @@ def run_variant(name: str, kwargs: dict, fused_env: str) -> dict:
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:]]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    out_path = args[0] if args else None
     results = {}
     for name, (kwargs, fused_env) in VARIANTS.items():
+        if only is not None and name not in only:
+            continue
         results[name] = run_variant(name, kwargs, fused_env)
     doc = {"workload": "satrans_aliccp_sota_shapes_b8192_lazy",
            "unit": "examples/s/chip", "results": results}

@@ -130,6 +130,25 @@ class SATrans:
             self.meta_param_size = metanet.param_size(self.meta_units)
         self.domain_embedding_dim = 2 * d if self.use_pos else d
         self.num_domains = int(self.num_domains_list[0])
+        # Multi-scenario-column fast path (VERDICT r4 next #1): the encoder
+        # input is the MEAN of the S columns' embeddings (reference
+        # satrans.py:205-207), so the distinct meta-parameter sets number at
+        # most prod(D_i + 1) - the composite PRODUCT-DOMAIN table.  When
+        # that product is small we evaluate the encoder over the full combo
+        # grid once and ride the whole single-column machinery (composite
+        # ids + one-hot select + the fused kernel) instead of per-example
+        # params; the faithful per-example path remains for large products.
+        self.product_domains = 1
+        for n in self.num_domains_list:
+            self.product_domains *= int(n) + 1
+        self.composite_max = int(os.environ.get("SATRANS_COMPOSITE_MAX",
+                                                "256"))
+        self.use_composite = (len(self.domain_cols) > 1
+                              and self.product_domains <= self.composite_max)
+        # rows of the per-domain meta tables ( = one-hot width downstream)
+        self.meta_rows = (self.num_domains + 1
+                          if len(self.domain_cols) == 1
+                          else self.product_domains)
         self.head_in = self.layout.num_fields * d + self.layout.dense_dim
 
     # ------------------------------------------------------------------
@@ -188,10 +207,16 @@ class SATrans:
 
         Returns per-layer list of {'Q','K','V'[,'bilinear']} -> [D+1, P].
         """
-        table = jax.nn.relu(p["domain_emb"])  # [D+1, d or P]
+        return self._tables_from_base(p, jax.nn.relu(p["domain_emb"]))
+
+    def _tables_from_base(self, p, table):
+        """Encoder over an already-ReLU'd base table ``[R, d or P]``.
+
+        Shared by the single-column (R = D+1 scenario ids) and composite
+        multi-column (R = prod(D_i+1) combos) tabular paths."""
         L = self.domain_att_layer_num
         if not self.use_pos:
-            vec = self._encode(p, table)  # [D+1, P]
+            vec = self._encode(p, table)  # [R, P]
             per = {"Q": vec, "K": vec, "V": vec, "bilinear": vec}
             return [per] * L
         # 'pos': distinct params per (layer, qkv) (satrans.py:225-234)
@@ -208,6 +233,35 @@ class SATrans:
             per["bilinear"] = per["Q"]
             out.append(per)
         return out
+
+    def _composite_base(self, p):
+        """Composite product-domain base table ``[prod(D_i+1), d]``.
+
+        Row ``(i_0, ..., i_{S-1})`` (row-major) holds
+        ``relu(mean_s(emb_s[i_s]))`` - exactly the per-example encoder
+        input (reference satrans.py:205-207: mean of the scenario
+        columns' embeddings, then ReLU) for every combination at once."""
+        tabs = [embeddings.lookup_field(
+                    p["domain_bank"], self.layout, c,
+                    jnp.arange(int(n) + 1))
+                for c, n in zip(self.domain_cols, self.num_domains_list)]
+        acc = tabs[0]                              # [D_0+1, d]
+        for t in tabs[1:]:
+            acc = (acc[:, None, :] + t[None, :, :]).reshape(-1, t.shape[-1])
+        return jax.nn.relu(acc / len(tabs))
+
+    def _composite_ids(self, batch):
+        """Row-major combo index matching :meth:`_composite_base`.
+
+        Ids are clipped to each column's [0, D_i] contract range, same as
+        the single-column path (out-of-range ids would otherwise index a
+        different combo's row)."""
+        cid = None
+        for c, n in zip(self.domain_cols, self.num_domains_list):
+            ids = jnp.clip(
+                batch["sparse"][:, self.layout.sparse_index(c)], 0, int(n))
+            cid = ids if cid is None else cid * (int(n) + 1) + ids
+        return cid
 
     def _meta_params_per_example(self, p, batch):
         """Faithful path for multi-scenario-column: per-example [B, P]."""
@@ -248,8 +302,9 @@ class SATrans:
         cdtype = jnp.dtype(self.compute_dtype)
 
         single_col = len(self.domain_cols) == 1
-        domain_ids = batch["sparse"][:, self.layout.sparse_index(self.domain_cols[0])]
         if single_col:
+            domain_ids = batch["sparse"][
+                :, self.layout.sparse_index(self.domain_cols[0])]
             tables = self._meta_param_tables(p)
             # clip once so every meta path agrees on out-of-range domain
             # ids: the gather fast path (w[dom]) clamps under jit while
@@ -257,38 +312,66 @@ class SATrans:
             # transform) - clipping makes fused/dense_select/gather
             # predictions identical on the same data
             dom = jnp.clip(domain_ids, 0, self.num_domains)
+        elif self.use_composite:
+            # composite product-domain table: encoder over all combos,
+            # then the single-column tabular machinery (incl. the fused
+            # kernel) applies with R = prod(D_i+1) rows
+            tables = self._tables_from_base(p, self._composite_base(p))
+            dom = self._composite_ids(batch)
         else:
             tables = self._meta_params_per_example(p, batch)
             dom = None
         fused = self.use_fused_kernel
         blk = None
         if fused is None or fused:
-            for cand in (self.fused_block_b, 256, 128, 64, 32, 16):
+            cands = (self.fused_block_b, 256, 128, 64, 32, 16)
+            if self.meta_rows > 8:
+                # composite tables widen every per-domain operand by R/D x;
+                # smaller tiles keep the [N, R*h] masked-GEMM
+                # intermediates inside VMEM (measured in
+                # bench/variant_matrix.py 'multicol')
+                cands = (int(os.environ.get("SATRANS_BLOCK_B_COMPOSITE",
+                                            "32")), 16)
+            for cand in cands:
                 if x.shape[0] % cand == 0:
                     blk = cand
                     break
             # What the kernel supports: single scenario column, metanet
-            # variant, QK-or-QKV mode (shared AND 'pos' per-(layer,qkv)
-            # tables - the kernel carries separate Q/K MetaNet weights+LNs;
-            # 'QKV' is compute-identical to 'QK' because the reference
-            # never meta-transforms V in the metanet variant - its forward
-            # checks only 'Q'/'K' in mode, reference satrans.py:61-75, and
-            # V_meta_mlp is dead weight), optional relu-out ('relu' flag,
-            # reference satrans.py:91-92), a 2-matrix MetaNet ([d, h, d]
-            # units), no score return.  bf16 is fine (f32 internals; only
-            # layer boundaries narrow).
+            # variant with ANY meta_mode (containment semantics: each of
+            # Q/K is transformed iff its letter appears, reference
+            # satrans.py:61-75 - so 'Query', the CLI default, runs Q-only
+            # and 'QKV' is compute-identical to 'QK' because the reference
+            # never meta-transforms V in the metanet variant; V_meta_mlp
+            # is dead weight), shared AND 'pos' per-(layer,qkv) tables
+            # (the kernel carries separate Q/K MetaNet weights+LNs),
+            # optional relu-out ('relu' flag, reference satrans.py:91-92),
+            # 2- or 3-matrix MetaNets ([d, h, d] or [d, h1, h2, d] units;
+            # the middle matrix rides block-diagonally), no score return.
+            # bf16 is fine (f32 internals; only layer boundaries narrow).
             # The 'gate'/'bilinear' variants ride their own lighter kernel
             # (ops/pallas/gate_block.py): same packed attention/out block,
             # scenario transform swapped for the per-domain gate (reference
             # satrans.py:61-66) resp. block-diagonal bilinear map
             # (satrans.py:79-81).
-            common_ok = (single_col and not return_scores
+            # wide-operand bound: the masked-wide-GEMM kernels carry
+            # [N, R*h] intermediates whose cost is linear in the table
+            # rows R.  Composite metanet products instead ride the
+            # DISPATCHED kernel (ops/pallas/tiled_meta.py + ops/dispatch):
+            # sort-by-combo with per-tile capacity makes every kernel tile
+            # single-domain, so the per-tile GEMMs are R-independent.
+            max_h = max(self.meta_units[1:-1] or [self.meta_units[1]]) \
+                if self.variant == "metanet" else self.layout.embedding_dim
+            tiled = (self.variant == "metanet" and not single_col
+                     and self.meta_rows > 8)
+            common_ok = (dom is not None and not return_scores
                          and blk is not None
                          and cdtype in (jnp.float32, jnp.bfloat16))
             metanet_ok = (common_ok and self.variant == "metanet"
-                          and self.meta_mode in ("QK", "QKV")
-                          and len(self.meta_units) == 3)
-            simple_ok = common_ok and self.variant in ("gate", "bilinear")
+                          and len(self.meta_units) in (3, 4)
+                          and (tiled or self.meta_rows * max_h <= 4096))
+            simple_ok = (common_ok and self.variant in ("gate", "bilinear")
+                         and (self.variant == "gate"
+                              or self.meta_rows * max_h <= 4096))
             supported = metanet_ok or simple_ok
             # SATRANS_FUSED=0 disables auto mode; jax.default_backend() is
             # static under trace.
@@ -304,27 +387,63 @@ class SATrans:
             # layer-boundary activations narrow under bf16 compute.
             from ..ops.pallas import gate_block, meta_block
             x = x.astype(cdtype)
-            onehot = jax.nn.one_hot(dom, self.num_domains + 1,
-                                    dtype=jnp.float32)
-            for i, layer_p in enumerate(p["layers"]):
-                seed = jax.random.randint(jax.random.fold_in(rng, i), (),
-                                          0, 2 ** 31 - 1, dtype=jnp.int32)
-                if self.variant == "metanet":
-                    x = meta_block.fused_meta_layer_vjp(
-                        x, layer_p, tables[i], onehot,
-                        meta_units=self.meta_units,
+            if tiled:
+                # composite multi-column: dispatch into single-domain
+                # tiles, per-tile weight blocks replace the one-hot
+                # masked wide GEMM (D-independent cost; ~<=22% slack rows)
+                from ..ops import dispatch as dsp
+                from ..ops.pallas import tiled_meta
+                plan = dsp.plan(dom, self.meta_rows, blk)
+                x = dsp.scatter(x, plan)
+                for i, layer_p in enumerate(p["layers"]):
+                    seed = jax.random.randint(jax.random.fold_in(rng, i),
+                                              (), 0, 2 ** 31 - 1,
+                                              dtype=jnp.int32)
+                    tile_tabs = {k: tables[i][k][plan.tile_dom]
+                                 for k in ("Q", "K")}
+                    x = tiled_meta.fused_tiled_layer_vjp(
+                        x, layer_p, tile_tabs, meta_units=self.meta_units,
                         head_num=self.att_head_num,
-                        drop_rate=self.dropout_rate, train=train, seed=seed,
-                        block_b=blk, interpret=self.fused_interpret,
-                        relu_out=self.relu_out)
-                else:
-                    x = gate_block.fused_simple_layer_vjp(
-                        x, layer_p, tables[i], onehot,
-                        variant=self.variant, mode=self.meta_mode,
-                        head_num=self.att_head_num,
-                        drop_rate=self.dropout_rate, train=train, seed=seed,
-                        block_b=blk, interpret=self.fused_interpret,
-                        relu_out=self.relu_out)
+                        drop_rate=self.dropout_rate, train=train,
+                        seed=seed, block_b=blk,
+                        interpret=self.fused_interpret,
+                        relu_out=self.relu_out, mode=self.meta_mode)
+                # head on the PADDED layout: only the scalar prediction
+                # returns to batch order (gathering the [B, F, d] tensor
+                # back would cost a 2x bigger permute + its backward
+                # scatter; the head GEMM on slack rows is trivial)
+                flat = x.reshape(x.shape[0], -1).astype(jnp.float32)
+                if self.layout.dense_dim > 0 and "dense" in batch:
+                    flat = jnp.concatenate(
+                        [flat, dsp.scatter(batch["dense"], plan)], axis=1)
+                logit = core.linear_apply(params["head"], flat)
+                pred = core.prediction(logit, self.task)[:, 0][plan.back]
+                return pred, state, jnp.asarray(0.0)
+            else:
+                onehot = jax.nn.one_hot(dom, self.meta_rows,
+                                        dtype=jnp.float32)
+                for i, layer_p in enumerate(p["layers"]):
+                    seed = jax.random.randint(jax.random.fold_in(rng, i),
+                                              (), 0, 2 ** 31 - 1,
+                                              dtype=jnp.int32)
+                    if self.variant == "metanet":
+                        x = meta_block.fused_meta_layer_vjp(
+                            x, layer_p, tables[i], onehot,
+                            meta_units=self.meta_units,
+                            head_num=self.att_head_num,
+                            drop_rate=self.dropout_rate, train=train,
+                            seed=seed, block_b=blk,
+                            interpret=self.fused_interpret,
+                            relu_out=self.relu_out, mode=self.meta_mode)
+                    else:
+                        x = gate_block.fused_simple_layer_vjp(
+                            x, layer_p, tables[i], onehot,
+                            variant=self.variant, mode=self.meta_mode,
+                            head_num=self.att_head_num,
+                            drop_rate=self.dropout_rate, train=train,
+                            seed=seed, block_b=blk,
+                            interpret=self.fused_interpret,
+                            relu_out=self.relu_out)
             flat = x.reshape(x.shape[0], -1).astype(jnp.float32)
             if self.layout.dense_dim > 0 and "dense" in batch:
                 flat = jnp.concatenate([flat, batch["dense"]], axis=1)
@@ -346,7 +465,11 @@ class SATrans:
                 variant=self.variant, relu_out=self.relu_out,
                 dropout_rate=self.dropout_rate, train=train,
                 rng=jax.random.fold_in(rng, i), domain_ids=dom,
-                dense_select=self.dense_select, return_scores=return_scores)
+                # dense-select runs one GEMM PER table row - profitable
+                # for a handful of scenario ids, pathological for
+                # composite product tables (R GEMMs); gather instead
+                dense_select=self.dense_select and self.meta_rows <= 8,
+                return_scores=return_scores)
             if return_scores:
                 x, scores = out
                 all_scores.append(scores)

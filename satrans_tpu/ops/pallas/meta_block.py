@@ -155,10 +155,12 @@ def _expand_const(D: int, block: int):
     return (jj // block == dd).astype(F32)
 
 
-def _meta_apply(t0, w1cat, w2stack, onehot_rows, D: int, h: int, d: int):
-    """relu(t0 @ W1[dom]) @ W2[dom] with the selection IMPLICIT in a masked
-    wide GEMM - no per-domain gather, no fold matmuls.
+def _meta_apply(t0, w1cat, wmid, w2stack, onehot_rows, D: int, h: int,
+                d: int):
+    """MetaNet MLP with the per-domain selection IMPLICIT in masked wide
+    GEMMs - no per-domain gather, no fold matmuls.
 
+    2-matrix (``wmid is None``): ``relu(t0 @ W1[dom]) @ W2[dom]``.
     t0: [N, d]; w1cat: [d, D*h] (per-domain W1 side by side); w2stack:
     [D*h, d] (per-domain W2 stacked VERTICALLY); onehot_rows: [N, D].
     ``Hm = relu(t0 @ w1cat) * mask`` is zero outside each row's own domain
@@ -166,13 +168,31 @@ def _meta_apply(t0, w1cat, w2stack, onehot_rows, D: int, h: int, d: int):
     domain's W2 - one GEMM replaces select+GEMM+select, and the gradients
     ``dW = Hm^T @ dY`` / ``dHm = dY @ w2stack^T`` stay per-domain-correct
     for free (zero rows contribute zero).
+
+    3-matrix (``wmid``: [D*h, D*h2] BLOCK-DIAGONAL per-domain middle
+    matrices, reference ``meta_dnn_hidden_units`` of length 3):
+    ``H2 = relu(Hm @ wmid)`` keeps the block structure - Hm is zero
+    outside the own-domain block and wmid maps block i -> block i, so H2
+    is nonzero only on the own domain's h2 columns (relu(0) == 0) and a
+    second mask is unnecessary; ``Y = H2 @ w2stack`` with w2stack now
+    [D*h2, d].  The off-diagonal blocks of the kernel's dwmid are exactly
+    zero (disjoint row/column domain supports), and the block-diagonal
+    packing outside the custom-vjp boundary drops them when routing
+    gradients back to the flat tables.
+
+    Returns ``(Y, hs)`` with ``hs`` the hidden activations the backward
+    needs: ``(Hm,)`` resp. ``(Hm, H2)``.
     """
     mask = jnp.dot(onehot_rows, _expand_const(D, h),
                    preferred_element_type=F32)           # [N, D*h]
     H = jax.nn.relu(jnp.dot(t0, w1cat, preferred_element_type=F32))
     Hm = H * mask
-    Y = jnp.dot(Hm, w2stack, preferred_element_type=F32)  # [N, d]
-    return Y, Hm
+    if wmid is None:
+        Y = jnp.dot(Hm, w2stack, preferred_element_type=F32)  # [N, d]
+        return Y, (Hm,)
+    H2 = jax.nn.relu(jnp.dot(Hm, wmid, preferred_element_type=F32))
+    Y = jnp.dot(H2, w2stack, preferred_element_type=F32)  # [N, d]
+    return Y, (Hm, H2)
 
 
 def _attn_group(TB: int, F_: int, cap: int | None = None) -> int:
@@ -293,12 +313,24 @@ def _attention(q, k, v, head_num: int, F_: int, d: int, *,
     return o, s_keep
 
 
-def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
-                 lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
-                 mask_ref, *,
-                 D: int, h: int, head_num: int, drop_rate: float, train: bool,
+def _split_w(rest, h2):
+    """Unpack the weight refs that follow ``wqkv`` in kernel signatures.
+
+    Returns ``((w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout, lno),
+    tail)``; the 2-matrix case (``h2 is None``) has no wmid operands and
+    gets ``None`` in their slots."""
+    if h2 is not None:
+        return tuple(rest[:10]), rest[10:]
+    w1q, w2q, lnq, w1k, w2k, lnk, wout, lno = rest[:8]
+    return (w1q, None, w2q, lnq, w1k, None, w2k, lnk, wout, lno), rest[8:]
+
+
+def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, ws, mask_ref, *,
+                 D: int, h: int, h2: int | None, head_num: int,
+                 drop_rate: float, train: bool,
                  f_real: int | None, attn_cap: int | None,
-                 relu_out: bool = False):
+                 relu_out: bool = False, apply_q: bool = True,
+                 apply_k: bool = True):
     """Shared forward body.  Returns ``(y, qkv, uq, uk, s_keep, o)`` -
     the extras are the stash-mode residuals (``uq``/``uk`` are the pre-LN
     sums, ``s_keep`` the PRE-dropout attention probabilities per head).
@@ -307,8 +339,17 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     ``w1k/w2k/lnk``): the 'pos' variant (reference satrans.py:44-47,
     225-234) generates distinct per-(layer, qkv) meta params; the shared
     (non-pos) case passes the same arrays twice and autodiff outside the
-    custom-vjp boundary sums the two gradient paths."""
+    custom-vjp boundary sums the two gradient paths.
+
+    ``apply_q``/``apply_k`` mirror the reference's containment checks
+    (``'Q' in meta_mode`` / ``'K' in meta_mode``, satrans.py:60-73): an
+    unapplied projection skips its MetaNet, dropout draw AND LayerNorm
+    entirely (the raw projection feeds attention), which is what
+    meta_mode='Query' - the CLI default - does for K.  ``uq``/``uk`` then
+    carry the raw projection so the stash shapes stay fixed."""
     TB, F_, d = x_ref.shape
+    (w1q_ref, wmidq_ref, w2q_ref, lnq_ref, w1k_ref, wmidk_ref, w2k_ref,
+     lnk_ref, wout_ref, lno_ref) = ws
     if train and drop_rate > 0.0:
         _prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:].astype(F32)
@@ -321,17 +362,27 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     qkv = jnp.dot(x2, wqkv_ref[:], preferred_element_type=F32)  # [N, 3d]
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-    yq, _ = _meta_apply(q0, w1q_ref[:], w2q_ref[:], onehot_rows, D, h, d)
-    if train and drop_rate > 0.0:
-        yq = yq * _dropout_mask(yq.shape, drop_rate)
-    uq = yq + q0
-    qn, _, _ = _layer_norm_fwd(uq, lnq_ref[0], lnq_ref[1])
+    if apply_q:
+        yq, _ = _meta_apply(q0, w1q_ref[:],
+                            None if wmidq_ref is None else wmidq_ref[:],
+                            w2q_ref[:], onehot_rows, D, h, d)
+        if train and drop_rate > 0.0:
+            yq = yq * _dropout_mask(yq.shape, drop_rate)
+        uq = yq + q0
+        qn, _, _ = _layer_norm_fwd(uq, lnq_ref[0], lnq_ref[1])
+    else:
+        uq, qn = q0, q0
 
-    yk, _ = _meta_apply(k0, w1k_ref[:], w2k_ref[:], onehot_rows, D, h, d)
-    if train and drop_rate > 0.0:
-        yk = yk * _dropout_mask(yk.shape, drop_rate)
-    uk = yk + k0
-    kn, _, _ = _layer_norm_fwd(uk, lnk_ref[0], lnk_ref[1])
+    if apply_k:
+        yk, _ = _meta_apply(k0, w1k_ref[:],
+                            None if wmidk_ref is None else wmidk_ref[:],
+                            w2k_ref[:], onehot_rows, D, h, d)
+        if train and drop_rate > 0.0:
+            yk = yk * _dropout_mask(yk.shape, drop_rate)
+        uk = yk + k0
+        kn, _, _ = _layer_norm_fwd(uk, lnk_ref[0], lnk_ref[1])
+    else:
+        uk, kn = k0, k0
 
     o, s_keep = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
                            v0.reshape(TB, F_, d), head_num, F_, d,
@@ -350,44 +401,47 @@ def _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     return y, qkv, uq, uk, s_keep, o
 
 
-def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
-                lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
-                mask_ref, out_ref, *,
-                D: int, h: int, head_num: int, drop_rate: float, train: bool,
+def _fwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, *rest,
+                D: int, h: int, h2: int | None, head_num: int,
+                drop_rate: float, train: bool,
                 f_real: int | None = None, attn_cap: int | None = None,
-                relu_out: bool = False):
-    y, *_ = _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
-                         w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
-                         wout_ref, lno_ref, mask_ref,
-                         D=D, h=h, head_num=head_num, drop_rate=drop_rate,
+                relu_out: bool = False, apply_q: bool = True,
+                apply_k: bool = True):
+    ws, (mask_ref, out_ref) = _split_w(rest, h2)
+    y, *_ = _fwd_compute(seed_ref, dom_ref, x_ref, wqkv_ref, ws, mask_ref,
+                         D=D, h=h, h2=h2, head_num=head_num,
+                         drop_rate=drop_rate,
                          train=train, f_real=f_real, attn_cap=attn_cap,
-                         relu_out=relu_out)
+                         relu_out=relu_out, apply_q=apply_q,
+                         apply_k=apply_k)
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
-                      w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
-                      wout_ref, lno_ref, mask_ref,
-                      out_ref, qkv_ref, uq_ref, uk_ref, *rest, stash_s: bool,
-                      D: int, h: int, head_num: int, drop_rate: float,
+def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, *rest,
+                      stash_s: bool,
+                      D: int, h: int, h2: int | None, head_num: int,
+                      drop_rate: float,
                       train: bool, f_real: int | None = None,
-                      attn_cap: int | None = None, relu_out: bool = False):
+                      attn_cap: int | None = None, relu_out: bool = False,
+                      apply_q: bool = True, apply_k: bool = True):
     """Forward that also stores the backward's residuals (see
     _bwd_kernel_stash): HBM traffic (~450 MB/layer at B=8192) bought back
     ~2x in skipped backward recompute on v5e (docs/PERFORMANCE.md r2).
 
-    ``rest`` = ``(s_ref, o_ref)`` when ``stash_s`` else ``(o_ref,)``: the
+    After the weight refs and mask, outputs are ``out, qkv, uq, uk`` +
+    ``(s_ref, o_ref)`` when ``stash_s`` else ``(o_ref,)``: the
     'light' mode drops the attention-probability stash (its [H, B/g, n, n]
     tensor is the bulk of the residual traffic) and the backward
     recomputes the probabilities from the stashed pre-LN sums."""
-    s_ref, o_ref = rest if stash_s else (None, rest[0])
+    ws, tail = _split_w(rest, h2)
+    mask_ref, out_ref, qkv_ref, uq_ref, uk_ref = tail[:5]
+    s_ref, o_ref = tail[5:] if stash_s else (None, tail[5])
     TB, F_, d = x_ref.shape
     y, qkv, uq, uk, s_keep, o = _fwd_compute(
-        seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref, lnq_ref,
-        w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref, mask_ref,
-        D=D, h=h, head_num=head_num,
+        seed_ref, dom_ref, x_ref, wqkv_ref, ws, mask_ref,
+        D=D, h=h, h2=h2, head_num=head_num,
         drop_rate=drop_rate, train=train, f_real=f_real, attn_cap=attn_cap,
-        relu_out=relu_out)
+        relu_out=relu_out, apply_q=apply_q, apply_k=apply_k)
     out_ref[:] = y.astype(out_ref.dtype)
     qkv_ref[:] = qkv.reshape(TB, F_, 3 * d).astype(qkv_ref.dtype)
     uq_ref[:] = uq.reshape(TB, F_, d).astype(uq_ref.dtype)
@@ -398,16 +452,37 @@ def _fwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
     o_ref[:] = o.astype(o_ref.dtype)
 
 
-def _pack_meta(meta_tables, key: str, d: int, h: int, D: int):
-    """[D, P] flat per-domain params -> ([d, D*h], [D*h, d]) wide GEMMs.
-    A missing 'K' falls back to 'Q' (shared non-pos semantics)."""
-    P = d * h + h * d
-    flat = meta_tables.get(key, meta_tables["Q"])[:, :P]
+def _pack_meta(meta_tables, key: str, d: int, units, D: int):
+    """[D, P] flat per-domain params -> the masked-wide-GEMM layout.
+
+    2-matrix ``units=[d, h, d]``: ``([d, D*h], None, [D*h, d])``.
+    3-matrix ``units=[d, h, h2, d]``: ``([d, D*h], [D*h, D*h2] block-
+    diagonal, [D*h2, d])`` - see :func:`_meta_apply`.  The packing is
+    differentiable; autodiff routes the kernel's dwmid back to the flat
+    table, dropping the off-diagonal blocks the packing never reads.
+
+    A missing 'K' falls back to 'Q' (the documented shared non-pos
+    contract: one table drives both paths and autodiff sums the two
+    gradient contributions).  SATrans itself always populates 'K'
+    explicitly - including under 'pos' - so the fallback only serves
+    direct kernel callers."""
+    h = units[1]
+    flat = meta_tables.get(key, meta_tables["Q"])
     w1 = flat[:, : d * h].reshape(D, d, h)
-    w2 = flat[:, d * h:].reshape(D, h, d)
     w1cat = jnp.concatenate([w1[i] for i in range(D)], axis=1)
+    if len(units) == 3:
+        w2 = flat[:, d * h: d * h + h * d].reshape(D, h, d)
+        w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=0)
+        return w1cat, None, w2cat
+    h2 = units[2]
+    o1, o2 = d * h, d * h + h * h2
+    wm = flat[:, o1:o2].reshape(D, h, h2)
+    w2 = flat[:, o2: o2 + h2 * d].reshape(D, h2, d)
+    wmid = jnp.zeros((D * h, D * h2), F32)
+    for i in range(D):
+        wmid = wmid.at[i * h:(i + 1) * h, i * h2:(i + 1) * h2].set(wm[i])
     w2cat = jnp.concatenate([w2[i] for i in range(D)], axis=0)
-    return w1cat, w2cat
+    return w1cat, wmid, w2cat
 
 
 def _pack_lns(layer_params, d: int):
@@ -428,52 +503,21 @@ def fused_meta_layer(x, layer_params, meta_tables, domain_onehot, *,
                      meta_units, head_num: int, drop_rate: float = 0.1,
                      train: bool = False, seed: int = 0,
                      block_b: int = 128, interpret: bool = False,
-                     relu_out: bool = False):
-    """Forward of one meta-transformer layer (QK mode, dense-select).
+                     relu_out: bool = False, mode: str = "QK"):
+    """Forward of one meta-transformer layer (dense-select).
 
-    x: [B, F, d] fp32; layer_params: dict from attention.meta_transformer_init
-    (metanet variant); meta_tables: {'Q': [D, P], 'K': [D, P]} flat
-    per-domain params (the same array for both in the shared non-pos case;
-    distinct per (layer, qkv) under 'pos'); domain_onehot: [B, D].
+    Thin delegate to :func:`fused_meta_layer_vjp` (one code path; the
+    primal of the custom vjp never stashes, so a no-grad call IS the plain
+    forward kernel).  x: [B, F, d] fp32; layer_params: dict from
+    attention.meta_transformer_init (metanet variant); meta_tables:
+    {'Q': [D, P], 'K': [D, P]} flat per-domain params (the same array for
+    both in the shared non-pos case; distinct per (layer, qkv) under
+    'pos'); domain_onehot: [B, D].
     """
-    B, F_, d = x.shape
-    D = domain_onehot.shape[1]
-    h = meta_units[1]
-
-    w1q, w2q = _pack_meta(meta_tables, "Q", d, h, D)
-    w1k, w2k = _pack_meta(meta_tables, "K", d, h, D)
-    wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
-                            layer_params["wv"]], axis=1)
-    lnq, lnk = _pack_lns(layer_params, d)
-    lno = jnp.stack([layer_params["ln"]["scale"], layer_params["ln"]["bias"]])
-
-    if B % block_b:
-        raise ValueError(f"batch {B} must divide block_b {block_b}")
-    grid = (B // block_b,)
-
-    kernel = functools.partial(_fwd_kernel, D=D, h=h, head_num=head_num,
-                               drop_rate=drop_rate, train=train,
-                               relu_out=relu_out)
-    seed_arr = jnp.asarray([seed], jnp.int32)
-    g_att = _attn_group(block_b, F_)
-    mask = _block_mask(block_b // g_att, g_att, F_, F_)
-
-    with _interp_prng_scope(interpret):
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=grid,
-                in_specs=_common_in_specs(block_b, F_, d, D, h, mask.shape),
-                out_specs=pl.BlockSpec((block_b, F_, d),
-                                       lambda i, *_: (i, 0, 0)),
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(seed_arr, domain_onehot.astype(F32), x, wqkv, w1q, w2q, lnq,
-          w1k, w2k, lnk, layer_params["wout"], lno, mask)
+    return fused_meta_layer_vjp(
+        x, layer_params, meta_tables, domain_onehot, meta_units=meta_units,
+        head_num=head_num, drop_rate=drop_rate, train=train, seed=seed,
+        block_b=block_b, interpret=interpret, relu_out=relu_out, mode=mode)
 
 
 # ---------------------------------------------------------------------------
@@ -541,25 +585,48 @@ def _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list, m_s, use_drop,
 
 
 
-def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
-                lnq_ref, w1k_ref, w2k_ref, lnk_ref, wout_ref, lno_ref,
-                mask_ref, g_ref,
-                dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
-                dw1k_ref, dw2k_ref, dlnk_ref, dwout_ref, dlno_ref, *,
-                D: int, h: int, head_num: int, drop_rate: float, train: bool,
+def _write_param_grads(out_refs, h2, vals):
+    """Zero-init on the first grid step, then accumulate the per-tile
+    parameter gradients.  ``out_refs``/``vals`` ordered dwqkv, dw1q,
+    [dwmidq], dw2q, dlnq(2 rows), dw1k, [dwmidk], dw2k, dlnk, dwout,
+    dlno; LN grads arrive as (scale_row, bias_row) tuples."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in out_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    for ref, val in zip(out_refs, vals):
+        if isinstance(val, tuple):  # LayerNorm (scale, bias) rows
+            ref[0] += val[0]
+            ref[1] += val[1]
+        else:
+            ref[:] += val
+
+
+def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, *rest,
+                D: int, h: int, h2: int | None, head_num: int,
+                drop_rate: float, train: bool,
                 f_real: int | None = None, attn_cap: int | None = None,
-                relu_out: bool = False):
+                relu_out: bool = False, apply_q: bool = True,
+                apply_k: bool = True):
+    ws, tail = _split_w(rest, h2)
+    (w1q_ref, wmidq_ref, w2q_ref, lnq_ref, w1k_ref, wmidk_ref, w2k_ref,
+     lnk_ref, wout_ref, lno_ref) = ws
+    mask_ref, g_ref = tail[:2]
+    dx_ref = tail[2]
+    grad_refs = tail[3:]
     TB, F_, d = x_ref.shape
     N = TB * F_
     dh = d // head_num
     scale = 1.0 / math.sqrt(dh)
     use_drop = train and drop_rate > 0.0
 
-    # ---- regenerate dropout masks in the forward draw order ----
+    # ---- regenerate dropout masks in the forward draw order (an
+    # unapplied projection drew no mask in the forward) ----
     if use_drop:
         _prng_seed(seed_ref[0] + pl.program_id(0))
-        m_yq = _dropout_mask((N, d), drop_rate)
-        m_yk = _dropout_mask((N, d), drop_rate)
+        m_yq = _dropout_mask((N, d), drop_rate) if apply_q else None
+        m_yk = _dropout_mask((N, d), drop_rate) if apply_k else None
         g_attn0 = _attn_group(TB, F_, attn_cap)
         m_s = [_dropout_mask((TB // g_attn0, g_attn0 * F_, g_attn0 * F_),
                              drop_rate) for _ in range(head_num)]
@@ -571,8 +638,12 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     onehot_rows = jnp.broadcast_to(onehot[:, None, :],
                                    (TB, F_, onehot.shape[1])
                                    ).reshape(N, onehot.shape[1])
-    w1q, w2q = w1q_ref[:], w2q_ref[:]
-    w1k, w2k = w1k_ref[:], w2k_ref[:]
+    w1q = w1q_ref[:] if apply_q else None
+    w2q = w2q_ref[:] if apply_q else None
+    wmidq = wmidq_ref[:] if (apply_q and wmidq_ref is not None) else None
+    w1k = w1k_ref[:] if apply_k else None
+    w2k = w2k_ref[:] if apply_k else None
+    wmidk = wmidk_ref[:] if (apply_k and wmidk_ref is not None) else None
     wqkv = wqkv_ref[:]
     wout = wout_ref[:]
 
@@ -580,14 +651,20 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     qkv = jnp.dot(x2, wqkv, preferred_element_type=F32)
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-    yq, hq = _meta_apply(q0, w1q, w2q, onehot_rows, D, h, d)
-    if use_drop:
-        yq = yq * m_yq
-    qn, xhat_q, inv_q = _layer_norm_fwd(yq + q0, lnq_ref[0], lnq_ref[1])
-    yk, hk = _meta_apply(k0, w1k, w2k, onehot_rows, D, h, d)
-    if use_drop:
-        yk = yk * m_yk
-    kn, xhat_k, inv_k = _layer_norm_fwd(yk + k0, lnk_ref[0], lnk_ref[1])
+    if apply_q:
+        yq, hq = _meta_apply(q0, w1q, wmidq, w2q, onehot_rows, D, h, d)
+        if use_drop:
+            yq = yq * m_yq
+        qn, xhat_q, inv_q = _layer_norm_fwd(yq + q0, lnq_ref[0], lnq_ref[1])
+    else:
+        qn = q0
+    if apply_k:
+        yk, hk = _meta_apply(k0, w1k, wmidk, w2k, onehot_rows, D, h, d)
+        if use_drop:
+            yk = yk * m_yk
+        kn, xhat_k, inv_k = _layer_norm_fwd(yk + k0, lnk_ref[0], lnk_ref[1])
+    else:
+        kn = k0
 
     g_attn = _attn_group(TB, F_, attn_cap)
     groups = TB // g_attn
@@ -656,13 +733,29 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
     # weights + LayerNorm (shared case: same arrays, grads summed outside).
     # hm = relu(t0@w1)*mask is zero outside each row's domain block, so
     # plain wide GEMMs give per-domain-correct grads with no select/fold
-    # matmuls and no per-domain loop (see _meta_apply).
-    dq0, dw1c_q, dw2c_q, dls_q, dlb_q = _meta_bwd(
-        dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
-        m_yq if use_drop else None, w1q, w2q, lnq_ref[0])
-    dk0, dw1c_k, dw2c_k, dls_k, dlb_k = _meta_bwd(
-        dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
-        m_yk if use_drop else None, w1k, w2k, lnk_ref[0])
+    # matmuls and no per-domain loop (see _meta_apply).  An unapplied
+    # projection passes its gradient straight through (zero meta grads).
+    zeros_w1 = lambda: jnp.zeros((d, D * h), F32)
+    zeros_w2 = lambda: jnp.zeros((D * (h2 or h), d), F32)
+    zeros_mid = (lambda: jnp.zeros((D * h, D * h2), F32)) if h2 else \
+        (lambda: None)
+    zeros_ln = lambda: jnp.zeros((d,), F32)
+    if apply_q:
+        dq0, dw1c_q, dwm_q, dw2c_q, dls_q, dlb_q = _meta_bwd(
+            dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
+            m_yq if use_drop else None, w1q, wmidq, w2q, lnq_ref[0])
+    else:
+        dq0, dw1c_q, dwm_q, dw2c_q = (dqn.reshape(N, d), zeros_w1(),
+                                      zeros_mid(), zeros_w2())
+        dls_q = dlb_q = zeros_ln()
+    if apply_k:
+        dk0, dw1c_k, dwm_k, dw2c_k, dls_k, dlb_k = _meta_bwd(
+            dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
+            m_yk if use_drop else None, w1k, wmidk, w2k, lnk_ref[0])
+    else:
+        dk0, dw1c_k, dwm_k, dw2c_k = (dkn.reshape(N, d), zeros_w1(),
+                                      zeros_mid(), zeros_w2())
+        dls_k = dlb_k = zeros_ln()
 
     dqkv = jnp.concatenate([dq0, dk0, dv3.reshape(N, d)], axis=1)  # [N, 3d]
     dwqkv = jnp.dot(x2.T, dqkv, preferred_element_type=F32)
@@ -671,31 +764,14 @@ def _bwd_kernel(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref, w2q_ref,
 
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
-    # accumulate weight grads across grid steps
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
-        dw1q_ref[:] = jnp.zeros_like(dw1q_ref)
-        dw2q_ref[:] = jnp.zeros_like(dw2q_ref)
-        dlnq_ref[:] = jnp.zeros_like(dlnq_ref)
-        dw1k_ref[:] = jnp.zeros_like(dw1k_ref)
-        dw2k_ref[:] = jnp.zeros_like(dw2k_ref)
-        dlnk_ref[:] = jnp.zeros_like(dlnk_ref)
-        dwout_ref[:] = jnp.zeros_like(dwout_ref)
-        dlno_ref[:] = jnp.zeros_like(dlno_ref)
-
-    dwqkv_ref[:] += dwqkv
-    dw1q_ref[:] += dw1c_q
-    dw2q_ref[:] += dw2c_q
-    dlnq_ref[0] += dls_q
-    dlnq_ref[1] += dlb_q
-    dw1k_ref[:] += dw1c_k
-    dw2k_ref[:] += dw2c_k
-    dlnk_ref[0] += dls_k
-    dlnk_ref[1] += dlb_k
-    dwout_ref[:] += dwout
-    dlno_ref[0] += dlno_s
-    dlno_ref[1] += dlno_b
+    vals = [dwqkv, dw1c_q]
+    if h2 is not None:
+        vals.append(dwm_q)
+    vals += [dw2c_q, (dls_q, dlb_q), dw1c_k]
+    if h2 is not None:
+        vals.append(dwm_k)
+    vals += [dw2c_k, (dls_k, dlb_k), dwout, (dlno_s, dlno_b)]
+    _write_param_grads(grad_refs, h2, vals)
 
 
 def _bwd_ablate() -> frozenset:
@@ -711,66 +787,84 @@ def _bwd_ablate() -> frozenset:
     return frozenset(s for s in v.split(",") if s)
 
 
-def _meta_bwd(dyn, xhat, inv, t0, hm, y_mask, w1, w2, ln_scale):
+def _meta_bwd(dyn, xhat, inv, t0, hs, y_mask, w1, wmid, w2, ln_scale):
     """MetaNet+LN backward for one projection path.
 
-    dyn/xhat/inv/t0 [N, d]; hm [N, D*h]; w1 [d, D*h]; w2 [D*h, d].
-    Returns (dt0, dW1 [d, D*h], dW2 [D*h, d], dls, dlb)."""
+    dyn/xhat/inv/t0 [N, d]; hs = (hm,) or (hm, h2) from :func:`_meta_apply`;
+    w1 [d, D*h]; wmid None or [D*h, D*h2]; w2 [D*h_last, d].
+    Returns (dt0, dW1, dWmid-or-None, dW2, dls, dlb)."""
     dls = jnp.sum(dyn * xhat, axis=0)
     dlb = jnp.sum(dyn, axis=0)
     duq = _layer_norm_bwd(dyn, xhat, inv, ln_scale)
     dy = duq * y_mask if y_mask is not None else duq
     dt0 = duq  # residual branch
-    dhm = jnp.dot(dy, w2.T, preferred_element_type=F32)   # [N, D*h]
+    hm = hs[0]
+    if wmid is None:
+        dhm = jnp.dot(dy, w2.T, preferred_element_type=F32)   # [N, D*h]
+        dw2c = jnp.dot(hm.T, dy, preferred_element_type=F32)  # [D*h, d]
+        dwmid = None
+    else:
+        h2 = hs[1]
+        # relu' at the block-diag middle layer: (h2 > 0) is zero outside
+        # the own-domain block too, keeping dwmid's off-diagonal blocks
+        # exactly zero (disjoint supports)
+        dh2 = jnp.dot(dy, w2.T, preferred_element_type=F32) \
+            * (h2 > 0).astype(F32)                            # [N, D*h2]
+        dw2c = jnp.dot(h2.T, dy, preferred_element_type=F32)  # [D*h2, d]
+        dwmid = jnp.dot(hm.T, dh2, preferred_element_type=F32)
+        dhm = jnp.dot(dh2, wmid.T, preferred_element_type=F32)
     # d/dH0 of relu+mask: both fold into (hm > 0)
     dh0 = dhm * (hm > 0).astype(F32)
-    dw2c = jnp.dot(hm.T, dy, preferred_element_type=F32)  # [D*h, d]
     dw1c = jnp.dot(t0.T, dh0, preferred_element_type=F32)  # [d, D*h]
     dt0 = dt0 + jnp.dot(dh0, w1.T, preferred_element_type=F32)
-    return dt0, dw1c, dw2c, dls, dlb
+    return dt0, dw1c, dwmid, dw2c, dls, dlb
 
 
-def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
-                      w2q_ref, lnq_ref, w1k_ref, w2k_ref, lnk_ref,
-                      wout_ref, lno_ref, *rest, stash_s: bool,
-                      D: int, h: int, head_num: int, drop_rate: float,
+def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, *rest,
+                      stash_s: bool,
+                      D: int, h: int, h2: int | None, head_num: int,
+                      drop_rate: float,
                       train: bool, f_real: int | None = None,
-                      attn_cap: int | None = None, relu_out: bool = False):
+                      attn_cap: int | None = None, relu_out: bool = False,
+                      apply_q: bool = True, apply_k: bool = True):
     """Backward consuming the forward's stashed residuals.
 
     Twin of :func:`_bwd_kernel` (same backward math - both are pinned to the
     XLA path by tests/test_pallas_meta_block.py); instead of recomputing the
     whole forward it reads ``qkv``/``uq``/``uk``[/``s``]/``o`` and
-    recomputes only the two relu hidden layers and ``z`` (one GEMM each).
+    recomputes only the relu hidden layers and ``z`` (one GEMM each).
     Dropout masks are regenerated from the PRNG in the forward's draw order.
 
-    ``rest`` layout: ``[mask]`` (light mode only) + ``g, qkv, uq, uk`` +
-    ``[s]`` (full mode only) + ``o`` + the 10 outputs.  In 'light' mode
-    the attention probabilities are recomputed from the stashed pre-LN
-    sums (2 GEMMs + softmax per head) instead of read from HBM - the s
-    stash is the bulk of the residual traffic.
+    ``rest`` layout after the weight refs: ``[mask]`` (light mode only) +
+    ``g, qkv, uq, uk`` + ``[s]`` (full mode only) + ``o`` + the outputs
+    (dx + parameter grads).  In 'light' mode the attention probabilities
+    are recomputed from the stashed pre-LN sums (2 GEMMs + softmax per
+    head) instead of read from HBM - the s stash is the bulk of the
+    residual traffic.
     """
+    ws, tail = _split_w(rest, h2)
+    (w1q_ref, wmidq_ref, w2q_ref, lnq_ref, w1k_ref, wmidk_ref, w2k_ref,
+     lnk_ref, wout_ref, lno_ref) = ws
     if stash_s:
-        (g_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref,
-         dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
-         dw1k_ref, dw2k_ref, dlnk_ref, dwout_ref, dlno_ref) = rest
         mask_ref = None
+        g_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref = tail[:6]
+        dx_ref, grad_refs = tail[6], tail[7:]
     else:
-        (mask_ref, g_ref, qkv_ref, uq_ref, uk_ref, o_ref,
-         dx_ref, dwqkv_ref, dw1q_ref, dw2q_ref, dlnq_ref,
-         dw1k_ref, dw2k_ref, dlnk_ref, dwout_ref, dlno_ref) = rest
+        mask_ref, g_ref, qkv_ref, uq_ref, uk_ref, o_ref = tail[:6]
         s_ref = None
+        dx_ref, grad_refs = tail[6], tail[7:]
     TB, F_, d = x_ref.shape
     N = TB * F_
     dh = d // head_num
     scale = 1.0 / math.sqrt(dh)
     use_drop = train and drop_rate > 0.0
 
-    # ---- regenerate dropout masks in the forward draw order ----
+    # ---- regenerate dropout masks in the forward draw order (an
+    # unapplied projection drew no mask in the forward) ----
     if use_drop:
         _prng_seed(seed_ref[0] + pl.program_id(0))
-        m_yq = _dropout_mask((N, d), drop_rate)
-        m_yk = _dropout_mask((N, d), drop_rate)
+        m_yq = _dropout_mask((N, d), drop_rate) if apply_q else None
+        m_yk = _dropout_mask((N, d), drop_rate) if apply_k else None
         g_attn0 = _attn_group(TB, F_, attn_cap)
         m_s = [_dropout_mask((TB // g_attn0, g_attn0 * F_, g_attn0 * F_),
                              drop_rate) for _ in range(head_num)]
@@ -782,8 +876,12 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
     onehot_rows = jnp.broadcast_to(onehot[:, None, :],
                                    (TB, F_, onehot.shape[1])
                                    ).reshape(N, onehot.shape[1])
-    w1q, w2q = w1q_ref[:], w2q_ref[:]
-    w1k, w2k = w1k_ref[:], w2k_ref[:]
+    w1q = w1q_ref[:] if apply_q else None
+    w2q = w2q_ref[:] if apply_q else None
+    wmidq = wmidq_ref[:] if (apply_q and wmidq_ref is not None) else None
+    w1k = w1k_ref[:] if apply_k else None
+    w2k = w2k_ref[:] if apply_k else None
+    wmidk = wmidk_ref[:] if (apply_k and wmidk_ref is not None) else None
     wqkv = wqkv_ref[:]
     wout = wout_ref[:]
 
@@ -792,16 +890,29 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
     q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
     mask_rows = jnp.dot(onehot_rows, _expand_const(D, h),
                         preferred_element_type=F32)
-    hq = jax.nn.relu(jnp.dot(q0, w1q, preferred_element_type=F32)) \
-        * mask_rows
-    hk = jax.nn.relu(jnp.dot(k0, w1k, preferred_element_type=F32)) \
-        * mask_rows
-    qn, xhat_q, inv_q = _layer_norm_fwd(uq_ref[:].reshape(N, d)
-                                        .astype(F32),
-                                        lnq_ref[0], lnq_ref[1])
-    kn, xhat_k, inv_k = _layer_norm_fwd(uk_ref[:].reshape(N, d)
-                                        .astype(F32),
-                                        lnk_ref[0], lnk_ref[1])
+
+    def _hiddens(t0, w1, wmid):
+        hm_ = jax.nn.relu(jnp.dot(t0, w1, preferred_element_type=F32)) \
+            * mask_rows
+        if wmid is None:
+            return (hm_,)
+        return (hm_, jax.nn.relu(jnp.dot(hm_, wmid,
+                                         preferred_element_type=F32)))
+
+    if apply_q:
+        hq = _hiddens(q0, w1q, wmidq)
+        qn, xhat_q, inv_q = _layer_norm_fwd(uq_ref[:].reshape(N, d)
+                                            .astype(F32),
+                                            lnq_ref[0], lnq_ref[1])
+    else:
+        qn = q0
+    if apply_k:
+        hk = _hiddens(k0, w1k, wmidk)
+        kn, xhat_k, inv_k = _layer_norm_fwd(uk_ref[:].reshape(N, d)
+                                            .astype(F32),
+                                            lnk_ref[0], lnk_ref[1])
+    else:
+        kn = k0
 
     g_attn = _attn_group(TB, F_, attn_cap)
     groups = TB // g_attn
@@ -867,24 +978,27 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
     dqn = dq3.reshape(TB, F_, d) * scale
     dkn = dk3.reshape(TB, F_, d)
 
-    if "meta_q" in ablate:
-        dq0 = dqn.reshape(N, d)
-        dw1c_q = jnp.zeros((d, w1q.shape[1]), F32)
-        dw2c_q = jnp.zeros((w2q.shape[0], d), F32)
-        dls_q = dlb_q = jnp.zeros((d,), F32)
+    zeros_w1 = lambda: jnp.zeros((d, D * h), F32)
+    zeros_w2 = lambda: jnp.zeros((D * (h2 or h), d), F32)
+    zeros_mid = (lambda: jnp.zeros((D * h, D * h2), F32)) if h2 else \
+        (lambda: None)
+    zeros_ln = lambda: jnp.zeros((d,), F32)
+    if not apply_q or "meta_q" in ablate:
+        dq0, dw1c_q, dwm_q, dw2c_q = (dqn.reshape(N, d), zeros_w1(),
+                                      zeros_mid(), zeros_w2())
+        dls_q = dlb_q = zeros_ln()
     else:
-        dq0, dw1c_q, dw2c_q, dls_q, dlb_q = _meta_bwd(
+        dq0, dw1c_q, dwm_q, dw2c_q, dls_q, dlb_q = _meta_bwd(
             dqn.reshape(N, d), xhat_q, inv_q, q0, hq,
-            m_yq if use_drop else None, w1q, w2q, lnq_ref[0])
-    if "meta_k" in ablate:
-        dk0 = dkn.reshape(N, d)
-        dw1c_k = jnp.zeros((d, w1k.shape[1]), F32)
-        dw2c_k = jnp.zeros((w2k.shape[0], d), F32)
-        dls_k = dlb_k = jnp.zeros((d,), F32)
+            m_yq if use_drop else None, w1q, wmidq, w2q, lnq_ref[0])
+    if not apply_k or "meta_k" in ablate:
+        dk0, dw1c_k, dwm_k, dw2c_k = (dkn.reshape(N, d), zeros_w1(),
+                                      zeros_mid(), zeros_w2())
+        dls_k = dlb_k = zeros_ln()
     else:
-        dk0, dw1c_k, dw2c_k, dls_k, dlb_k = _meta_bwd(
+        dk0, dw1c_k, dwm_k, dw2c_k, dls_k, dlb_k = _meta_bwd(
             dkn.reshape(N, d), xhat_k, inv_k, k0, hk,
-            m_yk if use_drop else None, w1k, w2k, lnk_ref[0])
+            m_yk if use_drop else None, w1k, wmidk, w2k, lnk_ref[0])
 
     if "wqkv" in ablate:
         dwqkv = jnp.zeros((d, 3 * d), F32)
@@ -896,49 +1010,40 @@ def _bwd_kernel_stash(seed_ref, dom_ref, x_ref, wqkv_ref, w1q_ref,
 
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
-        dw1q_ref[:] = jnp.zeros_like(dw1q_ref)
-        dw2q_ref[:] = jnp.zeros_like(dw2q_ref)
-        dlnq_ref[:] = jnp.zeros_like(dlnq_ref)
-        dw1k_ref[:] = jnp.zeros_like(dw1k_ref)
-        dw2k_ref[:] = jnp.zeros_like(dw2k_ref)
-        dlnk_ref[:] = jnp.zeros_like(dlnk_ref)
-        dwout_ref[:] = jnp.zeros_like(dwout_ref)
-        dlno_ref[:] = jnp.zeros_like(dlno_ref)
-
-    dwqkv_ref[:] += dwqkv
-    dw1q_ref[:] += dw1c_q
-    dw2q_ref[:] += dw2c_q
-    dlnq_ref[0] += dls_q
-    dlnq_ref[1] += dlb_q
-    dw1k_ref[:] += dw1c_k
-    dw2k_ref[:] += dw2c_k
-    dlnk_ref[0] += dls_k
-    dlnk_ref[1] += dlb_k
-    dwout_ref[:] += dwout
-    dlno_ref[0] += dlno_s
-    dlno_ref[1] += dlno_b
+    vals = [dwqkv, dw1c_q]
+    if h2 is not None:
+        vals.append(dwm_q)
+    vals += [dw2c_q, (dls_q, dlb_q), dw1c_k]
+    if h2 is not None:
+        vals.append(dwm_k)
+    vals += [dw2c_k, (dls_k, dlb_k), dwout, (dlno_s, dlno_b)]
+    _write_param_grads(grad_refs, h2, vals)
 
 
 # ---------------------------------------------------------------------------
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
-def _common_in_specs(block_b, F_, d, D, h, mask_shape=None):
+def _common_in_specs(block_b, F_, d, D, h, mask_shape=None, h2=None):
     """Input specs shared by the kernels; ``mask_shape=None`` omits the
     attention block-mask operand (the stash backward reads probabilities
-    from the residuals and never touches the mask)."""
+    from the residuals and never touches the mask).  ``h2`` adds the two
+    block-diagonal middle-matrix operands of the 3-matrix MetaNet (their
+    w2stack rows become D*h2)."""
+    w_last = D * (h2 or h)
+    mid = [pl.BlockSpec((D * h, D * h2), lambda i, *_: (0, 0))] \
+        if h2 is not None else []
     specs = [
         pl.BlockSpec((block_b, D), lambda i, *_: (i, 0)),
         pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
         pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),    # w1q
-        pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),    # w2q
+        *mid,                                              # wmidq
+        pl.BlockSpec((w_last, d), lambda i, *_: (0, 0)),   # w2q
         pl.BlockSpec((2, d), lambda i, *_: (0, 0)),        # lnq
         pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),    # w1k
-        pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),    # w2k
+        *mid,                                              # wmidk
+        pl.BlockSpec((w_last, d), lambda i, *_: (0, 0)),   # w2k
         pl.BlockSpec((2, d), lambda i, *_: (0, 0)),        # lnk
         pl.BlockSpec((d, d), lambda i, *_: (0, 0)),        # wout
         pl.BlockSpec((2, d), lambda i, *_: (0, 0)),        # lno
@@ -981,13 +1086,22 @@ def _stash_specs(B, block_b, F_, d, head_num, g_att, dtype=F32,
     return tuple(shapes), tuple(specs)
 
 
-def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
-              seed, cfg):
+def _w_operands(wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
+                lno, h2):
+    """Pallas weight-operand list: the wmid dummies are dropped in the
+    2-matrix case so Mosaic never sees them."""
+    if h2 is not None:
+        return [wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout, lno]
+    return [wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno]
+
+
+def _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
+              lno, onehot, seed, cfg):
     """Forward kernel dispatch.  With ``cfg.stash`` returns
     ``(y, qkv, uq, uk, s, o)``; otherwise just ``y``."""
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, stash, stash_dtype, relu_out) = cfg
+     attn_cap, stash, stash_dtype, relu_out, apply_q, apply_k, h2) = cfg
     if B % block_b:
         # a non-dividing batch would leave the tail rows of the output
         # uninitialized HBM (grid floor-divides) - fail loudly like the
@@ -996,7 +1110,7 @@ def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
     g_att = _attn_group(block_b, F_, attn_cap)
     mask = _block_mask(block_b // g_att, g_att, F_,
                        f_real if f_real is not None else F_)
-    in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
+    in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape, h2)
     y_shape = jax.ShapeDtypeStruct((B, F_, d), x.dtype)
     y_spec = pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0))
     if stash:
@@ -1008,10 +1122,13 @@ def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
         out_shape, out_specs = (y_shape,) + st_shapes, (y_spec,) + st_specs
     else:
         kern, out_shape, out_specs = _fwd_kernel, y_shape, y_spec
-    kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
+    kernel = functools.partial(kern, D=D, h=h, h2=h2, head_num=head_num,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap,
-                               relu_out=relu_out)
+                               relu_out=relu_out, apply_q=apply_q,
+                               apply_k=apply_k)
+    w_ops = _w_operands(wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                        wout, lno, h2)
     with _interp_prng_scope(interpret):
         return pl.pallas_call(
             kernel,
@@ -1025,33 +1142,33 @@ def _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(seed, onehot, x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
-          mask)
+        )(seed, onehot, x, *w_ops, mask)
 
 
-def _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
-              seed, g, cfg, stash_res=None):
+def _bwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
+              lno, onehot, seed, g, cfg, stash_res=None):
     B, F_, d = x.shape
     (D, h, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, stash, _stash_dtype, relu_out) = cfg
+     attn_cap, stash, _stash_dtype, relu_out, apply_q, apply_k, h2) = cfg
     kern = (functools.partial(_bwd_kernel_stash, stash_s=stash != "light")
             if stash else _bwd_kernel)
-    kernel = functools.partial(kern, D=D, h=h, head_num=head_num,
+    kernel = functools.partial(kern, D=D, h=h, h2=h2, head_num=head_num,
                                drop_rate=drop_rate, train=train,
                                f_real=f_real, attn_cap=attn_cap,
-                               relu_out=relu_out)
+                               relu_out=relu_out, apply_q=apply_q,
+                               apply_k=apply_k)
     g_att = _attn_group(block_b, F_, attn_cap)
+    w_ops = _w_operands(wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                        wout, lno, h2)
     if stash == "full":
-        in_specs = _common_in_specs(block_b, F_, d, D, h)
-        operands = [seed, onehot, x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
-                    wout, lno, g]
+        in_specs = _common_in_specs(block_b, F_, d, D, h, None, h2)
+        operands = [seed, onehot, x, *w_ops, g]
     else:
         # light-stash and recompute modes both need the attention mask
         mask = _block_mask(block_b // g_att, g_att, F_,
                            f_real if f_real is not None else F_)
-        in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape)
-        operands = [seed, onehot, x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
-                    wout, lno, mask, g]
+        in_specs = _common_in_specs(block_b, F_, d, D, h, mask.shape, h2)
+        operands = [seed, onehot, x, *w_ops, mask, g]
     in_specs.append(pl.BlockSpec((block_b, F_, d),
                                  lambda i, *_: (i, 0, 0)))  # g
     if stash:
@@ -1059,74 +1176,94 @@ def _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
                                    with_s=stash != "light")
         in_specs.extend(st_specs)
         operands.extend(stash_res)
+    w_last = D * (h2 or h)
+    mid_shape = [jax.ShapeDtypeStruct((D * h, D * h2), F32)] \
+        if h2 is not None else []
+    mid_spec = [pl.BlockSpec((D * h, D * h2), lambda i, *_: (0, 0))] \
+        if h2 is not None else []
     out_shapes = (
         jax.ShapeDtypeStruct((B, F_, d), x.dtype),        # dx
         jax.ShapeDtypeStruct((d, 3 * d), F32),            # dwqkv
         jax.ShapeDtypeStruct((d, D * h), F32),            # dw1q
-        jax.ShapeDtypeStruct((D * h, d), F32),            # dw2q
+        *mid_shape,                                       # dwmidq
+        jax.ShapeDtypeStruct((w_last, d), F32),           # dw2q
         jax.ShapeDtypeStruct((2, d), F32),                # dlnq
         jax.ShapeDtypeStruct((d, D * h), F32),            # dw1k
-        jax.ShapeDtypeStruct((D * h, d), F32),            # dw2k
+        *mid_shape,                                       # dwmidk
+        jax.ShapeDtypeStruct((w_last, d), F32),           # dw2k
         jax.ShapeDtypeStruct((2, d), F32),                # dlnk
         jax.ShapeDtypeStruct((d, d), F32),                # dwout
         jax.ShapeDtypeStruct((2, d), F32),                # dlno
     )
+    out_specs = (
+        pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+        *mid_spec,
+        pl.BlockSpec((w_last, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
+        *mid_spec,
+        pl.BlockSpec((w_last, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
+        pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
+    )
     with _interp_prng_scope(interpret):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(B // block_b,),
                 in_specs=in_specs,
-                out_specs=(
-                    pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0)),
-                    pl.BlockSpec((d, 3 * d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((d, D * h), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((D * h, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((d, d), lambda i, *_: (0, 0)),
-                    pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
-                ),
+                out_specs=out_specs,
             ),
             out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*operands)
+    if h2 is not None:
+        return out
+    # splice None into the wmid gradient slots for a uniform return layout
+    (dx, dwqkv, dw1q, dw2q, dlnq, dw1k, dw2k, dlnk, dwout, dlno) = out
+    return (dx, dwqkv, dw1q, None, dw2q, dlnq, dw1k, None, dw2k, dlnk,
+            dwout, dlno)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
-def _fused_layer(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot,
-                 seed, cfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+def _fused_layer(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
+                 lno, onehot, seed, cfg):
     # primal (no grad requested -> eval/serving): never stash - the
     # residuals would be written and read by nobody
-    return _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
-                     onehot, seed, cfg[:9] + (False,) + cfg[10:])
+    return _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                     wout, lno, onehot, seed, cfg[:9] + (False,) + cfg[10:])
 
 
-def _fused_layer_fwd(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
-                     onehot, seed, cfg):
-    out = _fwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
-                    onehot, seed, cfg)
+def _fused_layer_fwd(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                     wout, lno, onehot, seed, cfg):
+    out = _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                    wout, lno, onehot, seed, cfg)
     if cfg[9]:
         y, *stash_res = out
-        return y, (x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
-                   onehot, seed, tuple(stash_res))
-    return out, (x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
-                 onehot, seed, None)
+        return y, (x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                   wout, lno, onehot, seed, tuple(stash_res))
+    return out, (x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                 wout, lno, onehot, seed, None)
 
 
 def _fused_layer_bwd(cfg, res, g):
-    (x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno, onehot, seed,
-     stash_res) = res
-    (dx, dwqkv, dw1q, dw2q, dlnq, dw1k, dw2k, dlnk, dwout,
-     dlno) = _bwd_call(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno,
-                       onehot, seed, g, cfg, stash_res=stash_res)
-    return (dx, dwqkv, dw1q, dw2q, dlnq, dw1k, dw2k, dlnk, dwout, dlno,
-            jnp.zeros_like(onehot), jnp.zeros_like(seed))
+    (x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout, lno,
+     onehot, seed, stash_res) = res
+    (dx, dwqkv, dw1q, dwmidq, dw2q, dlnq, dw1k, dwmidk, dw2k, dlnk, dwout,
+     dlno) = _bwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                       wout, lno, onehot, seed, g, cfg,
+                       stash_res=stash_res)
+    if dwmidq is None:  # 2-matrix: the dummies get zero cotangents
+        dwmidq = jnp.zeros_like(wmidq)
+        dwmidk = jnp.zeros_like(wmidk)
+    return (dx, dwqkv, dw1q, dwmidq, dw2q, dlnq, dw1k, dwmidk, dw2k, dlnk,
+            dwout, dlno, jnp.zeros_like(onehot), jnp.zeros_like(seed))
 
 
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
@@ -1139,7 +1276,7 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                          attn_cap: int | None = None,
                          bwd: str | None = None,
                          stash_dtype: str | None = None,
-                         relu_out: bool = False):
+                         relu_out: bool = False, mode: str = "QK"):
     """Differentiable fused layer.  The packing (concats/reshapes) happens
     outside the custom-vjp boundary so XLA autodiffs it, routing gradients
     back to the original parameter structure including the per-domain flat
@@ -1155,6 +1292,13 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     forward internals).  Same math in every mode - all backward kernels
     are pinned to the XLA reference by tests.
 
+    ``mode`` is the reference ``meta_mode`` string: a projection is
+    MetaNet-transformed iff its letter appears (containment semantics,
+    reference satrans.py:61-75) - 'Query' (the CLI default) transforms Q
+    only, leaving K the raw projection.  ``meta_units`` of length 4
+    selects the 3-matrix MetaNet (``meta_dnn_hidden_units`` with three
+    entries); the middle matrices ride as block-diagonal operands.
+
     'pos' support: ``meta_tables['Q']``/``['K']`` may be DISTINCT [D, P]
     arrays (per-(layer, qkv) params, reference satrans.py:225-234) and
     ``layer_params`` may carry a separate ``k_meta`` LayerNorm; the shared
@@ -1162,8 +1306,26 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
     B, F_, d = x.shape
     D = domain_onehot.shape[1]
     h = meta_units[1]
-    w1q, w2q = _pack_meta(meta_tables, "Q", d, h, D)
-    w1k, w2k = _pack_meta(meta_tables, "K", d, h, D)
+    if len(meta_units) not in (3, 4):
+        raise ValueError(f"kernel supports 2- or 3-matrix MetaNets, got "
+                         f"units {list(meta_units)}")
+    h2 = meta_units[2] if len(meta_units) == 4 else None
+    apply_q, apply_k = "Q" in mode, "K" in mode
+    dummy = jnp.zeros((1, 1), F32)
+    if apply_q:
+        w1q, wmidq, w2q = _pack_meta(meta_tables, "Q", d, meta_units, D)
+    else:
+        w1q = jnp.zeros((d, D * h), F32)
+        wmidq = jnp.zeros((D * h, D * h2), F32) if h2 else None
+        w2q = jnp.zeros((D * (h2 or h), d), F32)
+    if apply_k:
+        w1k, wmidk, w2k = _pack_meta(meta_tables, "K", d, meta_units, D)
+    else:
+        w1k = jnp.zeros((d, D * h), F32)
+        wmidk = jnp.zeros((D * h, D * h2), F32) if h2 else None
+        w2k = jnp.zeros((D * (h2 or h), d), F32)
+    if h2 is None:
+        wmidq = wmidk = dummy
     wqkv = jnp.concatenate([layer_params["wq"], layer_params["wk"],
                             layer_params["wv"]], axis=1)
     lnq, lnk = _pack_lns(layer_params, d)
@@ -1196,9 +1358,10 @@ def fused_meta_layer_vjp(x, layer_params, meta_tables, domain_onehot, *,
                   "recompute": False}[bwd]
     cfg = (D, h, head_num, drop_rate, train, block_b, interpret,
            f_real if pad_f else None, attn_cap, stash_mode,
-           jnp.bfloat16 if stash_dtype == "bf16" else F32, relu_out)
+           jnp.bfloat16 if stash_dtype == "bf16" else F32, relu_out,
+           apply_q, apply_k, h2)
     seed_arr = jnp.asarray([seed], jnp.int32)
-    y = _fused_layer(x, wqkv, w1q, w2q, lnq, w1k, w2k, lnk,
+    y = _fused_layer(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
                      layer_params["wout"], lno,
                      domain_onehot.astype(F32), seed_arr, cfg)
     return y[:, :f_real] if pad_f else y

@@ -21,9 +21,12 @@ def spy_fused_calls():
     back transparently when the support gate rejects the config, which
     would silently turn a fused-vs-XLA equality test into XLA-vs-XLA
     (ADVICE r4).  Wrapping the entry points proves the fused path ran."""
-    calls = {"metanet": 0, "simple": 0}
+    from satrans_tpu.ops.pallas import tiled_meta
+
+    calls = {"metanet": 0, "simple": 0, "tiled": 0}
     orig_m = meta_block.fused_meta_layer_vjp
     orig_s = gate_block.fused_simple_layer_vjp
+    orig_t = tiled_meta.fused_tiled_layer_vjp
 
     def wrap_m(*a, **k):
         calls["metanet"] += 1
@@ -33,18 +36,25 @@ def spy_fused_calls():
         calls["simple"] += 1
         return orig_s(*a, **k)
 
+    def wrap_t(*a, **k):
+        calls["tiled"] += 1
+        return orig_t(*a, **k)
+
     meta_block.fused_meta_layer_vjp = wrap_m
     gate_block.fused_simple_layer_vjp = wrap_s
+    tiled_meta.fused_tiled_layer_vjp = wrap_t
     try:
         yield calls
     finally:
         meta_block.fused_meta_layer_vjp = orig_m
         gate_block.fused_simple_layer_vjp = orig_s
+        tiled_meta.fused_tiled_layer_vjp = orig_t
 
 
-def _setup(B=32, F=19, d=32, D=4, head_num=4, seed=0):
+def _setup(B=32, F=19, d=32, D=4, head_num=4, seed=0, meta_units=None):
     rng = np.random.default_rng(seed)
-    meta_units = [d, 2 * d, d]
+    if meta_units is None:
+        meta_units = [d, 2 * d, d]
     P = metanet.param_size(meta_units)
     x = jnp.asarray(rng.normal(size=(B, F, d)).astype(np.float32))
     params = attention.meta_transformer_init(
@@ -188,12 +198,12 @@ def test_fused_train_dropout_mask_consistency():
         x2 = x.reshape(N, d)
         qkv = x2 @ wqkv
         q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-        yq, _ = meta_block._meta_apply(q0, w1cat, w2cat, onehot_rows,
-                                       D, h, d)
+        yq, _ = meta_block._meta_apply(q0, w1cat, None, w2cat,
+                                       onehot_rows, D, h, d)
         qn, _, _ = meta_block._layer_norm_fwd(
             yq * m_yq + q0, lnq["scale"], lnq["bias"])
-        yk, _ = meta_block._meta_apply(k0, w1cat, w2cat, onehot_rows,
-                                       D, h, d)
+        yk, _ = meta_block._meta_apply(k0, w1cat, None, w2cat,
+                                       onehot_rows, D, h, d)
         kn, _, _ = meta_block._layer_norm_fwd(
             yk * m_yk + k0, lnq["scale"], lnq["bias"])
         q3 = (qn * scale).reshape(groups, n_attn, d)
@@ -485,8 +495,9 @@ def test_forced_fused_falls_back_when_unsupported():
     layout = FeatureLayout(cols)
     x, _ = synthetic_data(n=32, num_sparse=4, vocab=40)
     batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
-    for kw in (dict(meta_mode="Q"),  # metanet with K untransformed
-               dict(meta_dnn_hidden_units=(64, 64, 32))):  # 3-matrix MetaNet
+    for kw in (dict(meta_dnn_hidden_units=(32,)),  # 1-matrix MetaNet
+               # 4-matrix MetaNet (kernel covers 2- and 3-matrix only)
+               dict(meta_dnn_hidden_units=(64, 64, 64, 32))):
         ref = SATrans(layout=layout, domain_cols=["domain"],
                       num_domains_list=[3], domain_att_layer_num=1,
                       att_head_num=4, use_fused_kernel=False, **kw)
@@ -790,3 +801,88 @@ def test_satrans_pos_fused_matches_unfused():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=5e-4,
                                    err_msg=str(path))
+
+
+# ---------------------------------------------------------------------------
+# round-5: Q-only/K-only modes (the CLI default 'Query') and 3-matrix MetaNets
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kw", [
+    dict(meta_mode="Query"),                  # CLI/reference default: Q-only
+    dict(meta_mode="K"),                      # K-only
+    dict(meta_mode="Query", use_pos=True),    # Q-only with per-(layer,qkv)
+    dict(meta_dnn_hidden_units=(64, 64, 32)),               # 3-matrix, QK
+    dict(meta_dnn_hidden_units=(64, 64, 32), meta_mode="Query"),
+    dict(meta_dnn_hidden_units=(64, 64, 32), use_pos=True),
+])
+def test_satrans_qmode_and_3matrix_fused_matches_unfused(kw):
+    """Round-5 kernel coverage (VERDICT r4 next #2): containment meta
+    modes ('Query' transforms Q only, reference satrans.py:61-75) and the
+    3-matrix MetaNet (meta_dnn_hidden_units of length 3) ride the fused
+    kernel and match the XLA path, forward and parameter grads."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+    from satrans_tpu.train import losses
+
+    cols = synthetic_columns(num_sparse=4, vocab=40, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    base = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+                domain_att_layer_num=2, att_head_num=4, dropout_rate=0.0)
+    base.setdefault("meta_dnn_hidden_units", (64, 32))
+    base.update(kw)
+    m_ref = SATrans(use_fused_kernel=False, **base)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                      fused_block_b=16, **base)
+    x, y = synthetic_data(n=32, num_sparse=4, vocab=40)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    p_ref, _, _ = m_ref.apply(params, state, batch)
+    with spy_fused_calls() as calls:
+        p_fused, _, _ = m_fused.apply(params, state, batch)
+    assert calls["metanet"] == 2, kw  # one per layer, actually fused
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-5, err_msg=str(kw))
+    yb = jnp.asarray(y)
+
+    def grads(m):
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    g_ref, g_fused = grads(m_ref), grads(m_fused)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        b = g_fused
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4,
+                                   err_msg=f"{kw} {path}")
+
+
+@pytest.mark.parametrize("mode,units3", [("Query", False), ("QK", True)])
+def test_fused_dropout_bwd_modes_agree_qonly_and_3matrix(mode, units3):
+    """Dropout draw-order self-consistency for the new kernel paths: an
+    unapplied projection draws NO mask (fwd and bwd must both skip it),
+    and the 3-matrix path adds no draws.  All three backward kernels must
+    agree under active dropout."""
+    units = [32, 64, 64, 32] if units3 else None
+    x, params, tables, dom, onehot, mu, _ = _setup(B=16, F=24,
+                                                   meta_units=units)
+
+    def gr(bwd):
+        def f(x):
+            y = meta_block.fused_meta_layer_vjp(
+                x, params, tables, onehot, meta_units=mu, head_num=4,
+                train=True, drop_rate=0.3, seed=7, block_b=16,
+                interpret=True, bwd=bwd, stash_dtype="f32", mode=mode)
+            return jnp.sum(jnp.sin(y))
+        return jax.grad(f)(x)
+
+    base = np.asarray(gr("stash"))
+    assert np.abs(base).max() > 0
+    for m in ("stash_light", "recompute"):
+        np.testing.assert_allclose(np.asarray(gr(m)), base,
+                                   rtol=2e-4, atol=2e-5, err_msg=m)

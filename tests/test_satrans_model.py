@@ -166,3 +166,149 @@ def test_deep_stack_init_has_enough_keys():
                 meta_dnn_hidden_units=(16, 8))
     params, _ = m.init(jax.random.PRNGKey(0))
     assert len(params["layers"]) == 10
+
+
+# ---------------------------------------------------------------------------
+# round-5: multi-column composite product-domain table (VERDICT r4 next #1)
+# ---------------------------------------------------------------------------
+
+def _multicol_setup(**kw):
+    cols = synthetic_columns(num_sparse=4, vocab=30, dim=8, num_domains=3)
+    layout = FeatureLayout(cols)
+    base = dict(layout=layout, domain_cols=["domain", "f0"],
+                num_domains_list=[3, 30], domain_att_layer_num=2,
+                att_head_num=2, meta_dnn_hidden_units=(16, 8))
+    base.update(kw)
+    x, y = synthetic_data(n=64, num_sparse=4, vocab=30)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    return layout, base, batch, jnp.asarray(y)
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(use_pos=True),
+                                dict(variant="gate"),
+                                dict(variant="bilinear")])
+def test_multicol_composite_matches_per_example(kw):
+    """The composite product-domain table is the per-example path's math
+    evaluated once per combo (mean of scenario-column embeddings -> relu
+    -> encoder, reference satrans.py:205-207): predictions and gradients
+    must match the faithful per-example formulation."""
+    from satrans_tpu.train import losses
+
+    _, base, batch, yb = _multicol_setup(**kw)
+    m_comp = SATrans(use_fused_kernel=False, **base)
+    assert m_comp.use_composite and m_comp.product_domains == 4 * 31
+    m_pe = SATrans(use_fused_kernel=False, **base)
+    m_pe.use_composite = False  # force the faithful per-example path
+    params, state = m_comp.init(jax.random.PRNGKey(0))
+    p_c, _, _ = m_comp.apply(params, state, batch)
+    p_p, _, _ = m_pe.apply(params, state, batch)
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_p),
+                               rtol=1e-5, atol=1e-6, err_msg=str(kw))
+
+    def grads(m):
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    # dropout off for grad equality (different rng consumption patterns)
+    import dataclasses
+    g_c = grads(dataclasses.replace(m_comp, dropout_rate=0.0))
+    m_pe0 = dataclasses.replace(m_pe, dropout_rate=0.0)
+    m_pe0.use_composite = False  # replace() re-runs __post_init__
+    g_p = grads(m_pe0)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_p):
+        b = g_c
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"{kw} {path}")
+
+
+def test_multicol_composite_rides_tiled_kernel():
+    """With a small domain product the multi-column config must actually
+    run the dispatched tiled kernel (spy on the entry point) and equal
+    the XLA path - forward AND parameter grads (the per-tile gradient
+    blocks route back to the [D, P] tables through the gather's
+    scatter-add)."""
+    from test_pallas_meta_block import spy_fused_calls
+    from satrans_tpu.train import losses
+
+    _, base, batch, yb = _multicol_setup()
+    base["dropout_rate"] = 0.0
+    m_xla = SATrans(use_fused_kernel=False, **base)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True, **base)
+    params, state = m_xla.init(jax.random.PRNGKey(0))
+    p_ref, _, _ = m_xla.apply(params, state, batch)
+    with spy_fused_calls() as calls:
+        p_fused, _, _ = m_fused.apply(params, state, batch)
+    assert calls["tiled"] == 2 and calls["metanet"] == 0  # one per layer
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def grads(m):
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True,
+                                 rng=jax.random.PRNGKey(1))
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    g_ref, g_fused = grads(m_xla), grads(m_fused)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        b = g_fused
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4, err_msg=str(path))
+
+
+def test_multicol_tiled_dropout_deterministic_and_finite():
+    """Train-mode tiled kernel under dropout: same seed -> identical
+    output; grads finite (fwd/bwd PRNG draw-order self-consistency)."""
+    from satrans_tpu.train import losses
+
+    _, base, batch, yb = _multicol_setup()
+    base["dropout_rate"] = 0.3
+    m = SATrans(use_fused_kernel=True, fused_interpret=True, **base)
+    params, state = m.init(jax.random.PRNGKey(0))
+    r = jax.random.PRNGKey(3)
+    p1, _, _ = m.apply(params, state, batch, train=True, rng=r)
+    p2, _, _ = m.apply(params, state, batch, train=True, rng=r)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def f(p):
+        pred, _, _ = m.apply(p, state, batch, train=True, rng=r)
+        return losses.bce_sum(pred, yb)
+
+    g = jax.grad(f)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_multicol_large_product_stays_per_example():
+    """Above the composite cap the faithful per-example path remains."""
+    cols = synthetic_columns(num_sparse=4, vocab=300, dim=8, num_domains=3)
+    layout = FeatureLayout(cols)
+    m = SATrans(layout=layout, domain_cols=["domain", "f0"],
+                num_domains_list=[3, 300], domain_att_layer_num=1,
+                att_head_num=2, meta_dnn_hidden_units=(16, 8))
+    assert not m.use_composite  # 4 * 301 > 256
+    x, _ = synthetic_data(n=16, num_sparse=4, vocab=300)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m.init(jax.random.PRNGKey(0))
+    pred, _, _ = m.apply(params, state, batch)
+    assert pred.shape == (16,)
+
+
+def test_multicol_composite_trains():
+    """Composite path end-to-end through the Trainer (fit + predict)."""
+    _, base, _, _ = _multicol_setup()
+    model = SATrans(**base)
+    x, y = synthetic_data(n=256, num_sparse=4, vocab=30)
+    tr = Trainer(model, seed=0)
+    tr.compile(learning_rate=0.01)
+    tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
+    pred = tr.predict(x, batch_size=128)
+    assert np.isfinite(pred).all()
