@@ -18,9 +18,12 @@ Each per-tile gradient block is visited exactly once by the grid, so no
 cross-step accumulation is needed for them (shared weights - wqkv, LNs,
 wout - still accumulate across steps as in meta_block).
 
-Backward is recompute-style only: the MetaNet recompute here is two or
-three ``[TB*F, ~64]`` GEMMs, too small to justify the stash machinery's
-extra surface (same call as gate_block made for the simple variants).
+Backward modes mirror meta_block: ``stash`` (default) stores the
+forward residuals (qkv, pre-LN sums, attention probabilities, attention
+output) so the backward recomputes only the cheap per-tile hiddens and
+``z``; ``recompute`` regenerates everything flash-style.  Both are
+pinned to the XLA path by tests; A/B measured in
+bench/variant_matrix.py 'multicol'.
 
 Dropout draw order (fwd == bwd, in-kernel PRNG): yq (if Q applied), yk
 (if K applied), per-head attention masks, output mask.
@@ -40,7 +43,8 @@ from .meta_block import (F32, _attention, _attn_bwd_heads, _attn_group,
                          _block_mask, _clip_logits, _dropout_mask,
                          _interp_prng_scope, _layer_norm_bwd,
                          _layer_norm_fwd, _pack_lns, _prng_seed,
-                         _softmax_lastdim, _attn_variant, _head_masks)
+                         _softmax_lastdim, _attn_variant, _head_masks,
+                         _stash_specs)
 
 
 def _split_w(rest, h2):
@@ -89,12 +93,13 @@ def _tile_meta_bwd(dyn, xhat, inv, t0, hs, y_mask, w1_ref, wmid_ref,
     return dt0, dw1, dwmid, dw2, dls, dlb
 
 
-def _fwd_kernel(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
-                head_num: int, drop_rate: float, train: bool,
-                f_real: int | None = None, attn_cap: int | None = None,
-                relu_out: bool = False, apply_q: bool = True,
-                apply_k: bool = True):
-    ws, (mask_ref, out_ref) = _split_w(rest, h2)
+def _fwd_compute(seed_ref, x_ref, wqkv_ref, ws, mask_ref, *,
+                 h2: int | None, head_num: int, drop_rate: float,
+                 train: bool, f_real: int | None, attn_cap: int | None,
+                 relu_out: bool, apply_q: bool, apply_k: bool):
+    """Shared forward body; returns ``(y, qkv, uq, uk, s_keep, o)`` -
+    the extras are the stash-mode residuals (an unapplied projection's
+    ``uq``/``uk`` carries the raw projection so the shapes stay fixed)."""
     (w1q_ref, wmidq_ref, w2q_ref, lnq_ref, w1k_ref, wmidk_ref, w2k_ref,
      lnk_ref, wout_ref, lno_ref) = ws
     TB, F_, d = x_ref.shape
@@ -110,21 +115,23 @@ def _fwd_kernel(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
         yq, _ = _tile_meta(q0, w1q_ref, wmidq_ref, w2q_ref)
         if train and drop_rate > 0.0:
             yq = yq * _dropout_mask(yq.shape, drop_rate)
-        qn, _, _ = _layer_norm_fwd(yq + q0, lnq_ref[0], lnq_ref[1])
+        uq = yq + q0
+        qn, _, _ = _layer_norm_fwd(uq, lnq_ref[0], lnq_ref[1])
     else:
-        qn = q0
+        uq, qn = q0, q0
     if apply_k:
         yk, _ = _tile_meta(k0, w1k_ref, wmidk_ref, w2k_ref)
         if train and drop_rate > 0.0:
             yk = yk * _dropout_mask(yk.shape, drop_rate)
-        kn, _, _ = _layer_norm_fwd(yk + k0, lnk_ref[0], lnk_ref[1])
+        uk = yk + k0
+        kn, _, _ = _layer_norm_fwd(uk, lnk_ref[0], lnk_ref[1])
     else:
-        kn = k0
+        uk, kn = k0, k0
 
-    o, _ = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
-                      v0.reshape(TB, F_, d), head_num, F_, d,
-                      drop_rate=drop_rate, train=train, f_real=f_real,
-                      attn_cap=attn_cap, mask=mask_ref[:])
+    o, s_keep = _attention(qn.reshape(TB, F_, d), kn.reshape(TB, F_, d),
+                           v0.reshape(TB, F_, d), head_num, F_, d,
+                           drop_rate=drop_rate, train=train, f_real=f_real,
+                           attn_cap=attn_cap, mask=mask_ref[:])
     z = jnp.dot(o.reshape(N, d), wout_ref[:], preferred_element_type=F32)
     if relu_out:
         z = jax.nn.relu(z)
@@ -132,7 +139,44 @@ def _fwd_kernel(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
         z = z * _dropout_mask(z.shape, drop_rate)
     u = z.reshape(TB, F_, d) + x
     y, _, _ = _layer_norm_fwd(u, lno_ref[0], lno_ref[1])
+    return y, qkv, uq, uk, s_keep, o
+
+
+def _fwd_kernel(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
+                head_num: int, drop_rate: float, train: bool,
+                f_real: int | None = None, attn_cap: int | None = None,
+                relu_out: bool = False, apply_q: bool = True,
+                apply_k: bool = True):
+    ws, (mask_ref, out_ref) = _split_w(rest, h2)
+    y, *_ = _fwd_compute(seed_ref, x_ref, wqkv_ref, ws, mask_ref,
+                         h2=h2, head_num=head_num, drop_rate=drop_rate,
+                         train=train, f_real=f_real, attn_cap=attn_cap,
+                         relu_out=relu_out, apply_q=apply_q,
+                         apply_k=apply_k)
     out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _fwd_kernel_stash(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
+                      head_num: int, drop_rate: float, train: bool,
+                      f_real: int | None = None,
+                      attn_cap: int | None = None,
+                      relu_out: bool = False, apply_q: bool = True,
+                      apply_k: bool = True):
+    ws, tail = _split_w(rest, h2)
+    mask_ref, out_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref = tail
+    TB, F_, d = x_ref.shape
+    y, qkv, uq, uk, s_keep, o = _fwd_compute(
+        seed_ref, x_ref, wqkv_ref, ws, mask_ref,
+        h2=h2, head_num=head_num, drop_rate=drop_rate, train=train,
+        f_real=f_real, attn_cap=attn_cap, relu_out=relu_out,
+        apply_q=apply_q, apply_k=apply_k)
+    out_ref[:] = y.astype(out_ref.dtype)
+    qkv_ref[:] = qkv.reshape(TB, F_, 3 * d).astype(qkv_ref.dtype)
+    uq_ref[:] = uq.reshape(TB, F_, d).astype(uq_ref.dtype)
+    uk_ref[:] = uk.reshape(TB, F_, d).astype(uk_ref.dtype)
+    for hd in range(len(s_keep)):
+        s_ref[hd] = s_keep[hd].astype(s_ref.dtype)
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
@@ -298,6 +342,164 @@ def _bwd_kernel(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
     dlno_ref[1] += dlno_b
 
 
+def _bwd_kernel_stash(seed_ref, x_ref, wqkv_ref, *rest, h2: int | None,
+                      head_num: int, drop_rate: float, train: bool,
+                      f_real: int | None = None,
+                      attn_cap: int | None = None,
+                      relu_out: bool = False, apply_q: bool = True,
+                      apply_k: bool = True):
+    """Backward consuming the forward's stashed residuals (qkv, pre-LN
+    sums, attention probabilities, attention output); recomputes only the
+    cheap per-tile hiddens and ``z``.  Same math as :func:`_bwd_kernel` -
+    both pinned to the XLA path by tests."""
+    ws, tail = _split_w(rest, h2)
+    (w1q_ref, wmidq_ref, w2q_ref, lnq_ref, w1k_ref, wmidk_ref, w2k_ref,
+     lnk_ref, wout_ref, lno_ref) = ws
+    g_ref, qkv_ref, uq_ref, uk_ref, s_ref, o_ref = tail[:6]
+    dx_ref = tail[6]
+    grad_refs = tail[7:]
+    TB, F_, d = x_ref.shape
+    N = TB * F_
+    dh = d // head_num
+    scale = 1.0 / math.sqrt(dh)
+    use_drop = train and drop_rate > 0.0
+
+    if use_drop:
+        _prng_seed(seed_ref[0] + pl.program_id(0))
+        m_yq = _dropout_mask((N, d), drop_rate) if apply_q else None
+        m_yk = _dropout_mask((N, d), drop_rate) if apply_k else None
+        g_attn0 = _attn_group(TB, F_, attn_cap)
+        m_s = [_dropout_mask((TB // g_attn0, g_attn0 * F_, g_attn0 * F_),
+                             drop_rate) for _ in range(head_num)]
+        m_z = _dropout_mask((N, d), drop_rate)
+
+    x = x_ref[:].astype(F32)
+    x2 = x.reshape(N, d)
+    wqkv = wqkv_ref[:]
+    wout = wout_ref[:]
+
+    # ---- load residuals; recompute only the cheap pieces ----
+    qkv = qkv_ref[:].reshape(N, 3 * d).astype(F32)
+    q0, k0, v0 = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+
+    def _hiddens(t0, w1_ref, wmid_ref):
+        h1 = jax.nn.relu(jnp.dot(t0, w1_ref[0],
+                                 preferred_element_type=F32))
+        if wmid_ref is None:
+            return (h1,)
+        return (h1, jax.nn.relu(jnp.dot(h1, wmid_ref[0],
+                                        preferred_element_type=F32)))
+
+    if apply_q:
+        hq = _hiddens(q0, w1q_ref, wmidq_ref)
+        qn, xhat_q, inv_q = _layer_norm_fwd(
+            uq_ref[:].reshape(N, d).astype(F32), lnq_ref[0], lnq_ref[1])
+    else:
+        qn = q0
+    if apply_k:
+        hk = _hiddens(k0, w1k_ref, wmidk_ref)
+        kn, xhat_k, inv_k = _layer_norm_fwd(
+            uk_ref[:].reshape(N, d).astype(F32), lnk_ref[0], lnk_ref[1])
+    else:
+        kn = k0
+
+    g_attn = _attn_group(TB, F_, attn_cap)
+    groups = TB // g_attn
+    n_attn = g_attn * F_
+    q3 = (qn * scale).reshape(groups, n_attn, d)
+    k3 = kn.reshape(groups, n_attn, d)
+    v3 = v0.reshape(groups, n_attn, d)
+    s_list = [s_ref[hd].astype(F32) for hd in range(head_num)]
+    sm_list = [s * m_s[hd] if use_drop else s
+               for hd, s in enumerate(s_list)]
+
+    o2 = o_ref[:].reshape(N, d).astype(F32)
+    zlin = jnp.dot(o2, wout, preferred_element_type=F32)
+    z = jax.nn.relu(zlin) if relu_out else zlin
+    if use_drop:
+        z = z * m_z
+    u = z.reshape(TB, F_, d) + x
+    _, xhat_o, inv_o = _layer_norm_fwd(u, lno_ref[0], lno_ref[1])
+
+    # ---- backward (same math as _bwd_kernel) ----
+    g = g_ref[:].astype(F32)
+    dlno_s = jnp.sum(g * xhat_o, axis=(0, 1))
+    dlno_b = jnp.sum(g, axis=(0, 1))
+    du = _layer_norm_bwd(g, xhat_o, inv_o, lno_ref[0])
+    dx = du
+    dz = du.reshape(N, d)
+    if use_drop:
+        dz = dz * m_z
+    if relu_out:
+        dz = dz * (zlin > 0).astype(F32)
+    dwout = jnp.dot(o2.T, dz, preferred_element_type=F32)
+    do2 = jnp.dot(dz, wout.T, preferred_element_type=F32)
+    do3 = do2.reshape(groups, n_attn, d)
+    dq3, dk3, dv3 = _attn_bwd_heads(do3, q3, k3, v3, s_list, sm_list,
+                                    m_s if use_drop else None, use_drop,
+                                    head_num, dh)
+    dqn = (dq3.reshape(TB, F_, d) * scale).reshape(N, d)
+    dkn = dk3.reshape(N, d)
+
+    h1w = w1q_ref.shape[-1]
+    hl = w2q_ref.shape[-2]
+    zeros_ln = lambda: jnp.zeros((d,), F32)
+    if apply_q:
+        dq0, dw1_q, dwm_q, dw2_q, dls_q, dlb_q = _tile_meta_bwd(
+            dqn, xhat_q, inv_q, q0, hq, m_yq if use_drop else None,
+            w1q_ref, wmidq_ref, w2q_ref, lnq_ref[0])
+    else:
+        dq0 = dqn
+        dw1_q, dw2_q = jnp.zeros((d, h1w), F32), jnp.zeros((hl, d), F32)
+        dwm_q = jnp.zeros((h1w, h2), F32) if h2 else None
+        dls_q = dlb_q = zeros_ln()
+    if apply_k:
+        dk0, dw1_k, dwm_k, dw2_k, dls_k, dlb_k = _tile_meta_bwd(
+            dkn, xhat_k, inv_k, k0, hk, m_yk if use_drop else None,
+            w1k_ref, wmidk_ref, w2k_ref, lnk_ref[0])
+    else:
+        dk0 = dkn
+        dw1_k, dw2_k = jnp.zeros((d, h1w), F32), jnp.zeros((hl, d), F32)
+        dwm_k = jnp.zeros((h1w, h2), F32) if h2 else None
+        dls_k = dlb_k = zeros_ln()
+
+    dqkv = jnp.concatenate([dq0, dk0, dv3.reshape(N, d)], axis=1)
+    dwqkv = jnp.dot(x2.T, dqkv, preferred_element_type=F32)
+    dx = dx + jnp.dot(dqkv, wqkv.T,
+                      preferred_element_type=F32).reshape(TB, F_, d)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    if h2 is not None:
+        (dw1q_ref, dwmidq_ref, dw2q_ref, dlnq_ref, dw1k_ref, dwmidk_ref,
+         dw2k_ref, dlnk_ref, dwqkv_ref, dwout_ref, dlno_ref) = grad_refs
+        dwmidq_ref[0] = dwm_q
+        dwmidk_ref[0] = dwm_k
+    else:
+        (dw1q_ref, dw2q_ref, dlnq_ref, dw1k_ref, dw2k_ref, dlnk_ref,
+         dwqkv_ref, dwout_ref, dlno_ref) = grad_refs
+    dw1q_ref[0] = dw1_q
+    dw2q_ref[0] = dw2_q
+    dw1k_ref[0] = dw1_k
+    dw2k_ref[0] = dw2_k
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dlnq_ref[:] = jnp.zeros_like(dlnq_ref)
+        dlnk_ref[:] = jnp.zeros_like(dlnk_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dlno_ref[:] = jnp.zeros_like(dlno_ref)
+
+    dwqkv_ref[:] += dwqkv
+    dlnq_ref[0] += dls_q
+    dlnq_ref[1] += dlb_q
+    dlnk_ref[0] += dls_k
+    dlnk_ref[1] += dlb_k
+    dwout_ref[:] += dwout
+    dlno_ref[0] += dlno_s
+    dlno_ref[1] += dlno_b
+
+
 def _w_specs(block_b, F_, d, h, h2, hl, mask_shape=None):
     mid = [pl.BlockSpec((1, h, h2), lambda i, *_: (i, 0, 0))] \
         if h2 is not None else []
@@ -331,15 +533,24 @@ def _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
               lno, seed, cfg):
     B, F_, d = x.shape
     (h, h2, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, relu_out, apply_q, apply_k) = cfg
+     attn_cap, relu_out, apply_q, apply_k, stash) = cfg
     hl = h2 or h
     if B % block_b:
         raise ValueError(f"batch {B} must divide block_b {block_b}")
     g_att = _attn_group(block_b, F_, attn_cap)
     mask = _block_mask(block_b // g_att, g_att, F_,
                        f_real if f_real is not None else F_)
+    y_shape = jax.ShapeDtypeStruct((B, F_, d), x.dtype)
+    y_spec = pl.BlockSpec((block_b, F_, d), lambda i, *_: (i, 0, 0))
+    if stash:
+        st_shapes, st_specs = _stash_specs(B, block_b, F_, d, head_num,
+                                           g_att, F32, with_s=True)
+        kern = _fwd_kernel_stash
+        out_shape, out_specs = (y_shape,) + st_shapes, (y_spec,) + st_specs
+    else:
+        kern, out_shape, out_specs = _fwd_kernel, y_shape, y_spec
     kernel = functools.partial(
-        _fwd_kernel, h2=h2, head_num=head_num, drop_rate=drop_rate,
+        kern, h2=h2, head_num=head_num, drop_rate=drop_rate,
         train=train, f_real=f_real, attn_cap=attn_cap, relu_out=relu_out,
         apply_q=apply_q, apply_k=apply_k)
     with _interp_prng_scope(interpret):
@@ -349,10 +560,9 @@ def _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
                 num_scalar_prefetch=1,
                 grid=(B // block_b,),
                 in_specs=_w_specs(block_b, F_, d, h, h2, hl, mask.shape),
-                out_specs=pl.BlockSpec((block_b, F_, d),
-                                       lambda i, *_: (i, 0, 0)),
+                out_specs=out_specs,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, F_, d), x.dtype),
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -361,22 +571,31 @@ def _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
 
 
 def _bwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
-              lno, seed, g, cfg):
+              lno, seed, g, cfg, stash_res=None):
     B, F_, d = x.shape
     (h, h2, head_num, drop_rate, train, block_b, interpret, f_real,
-     attn_cap, relu_out, apply_q, apply_k) = cfg
+     attn_cap, relu_out, apply_q, apply_k, stash) = cfg
     hl = h2 or h
     n_tiles = B // block_b
     g_att = _attn_group(block_b, F_, attn_cap)
-    mask = _block_mask(block_b // g_att, g_att, F_,
-                       f_real if f_real is not None else F_)
+    kern = _bwd_kernel_stash if stash else _bwd_kernel
     kernel = functools.partial(
-        _bwd_kernel, h2=h2, head_num=head_num, drop_rate=drop_rate,
+        kern, h2=h2, head_num=head_num, drop_rate=drop_rate,
         train=train, f_real=f_real, attn_cap=attn_cap, relu_out=relu_out,
         apply_q=apply_q, apply_k=apply_k)
-    in_specs = _w_specs(block_b, F_, d, h, h2, hl, mask.shape)
+    if stash:
+        # the stash carries the probabilities - no attention mask operand
+        in_specs = _w_specs(block_b, F_, d, h, h2, hl, None)
+    else:
+        mask = _block_mask(block_b // g_att, g_att, F_,
+                           f_real if f_real is not None else F_)
+        in_specs = _w_specs(block_b, F_, d, h, h2, hl, mask.shape)
     in_specs.append(pl.BlockSpec((block_b, F_, d),
                                  lambda i, *_: (i, 0, 0)))  # g
+    if stash:
+        _, st_specs = _stash_specs(B, block_b, F_, d, head_num, g_att,
+                                   with_s=True)
+        in_specs.extend(st_specs)
     mid_shape = [jax.ShapeDtypeStruct((n_tiles, h, h2), F32)] \
         if h2 is not None else []
     mid_spec = [pl.BlockSpec((1, h, h2), lambda i, *_: (i, 0, 0))] \
@@ -416,6 +635,13 @@ def _bwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
         pl.BlockSpec((2, d), lambda i, *_: (0, 0)),
     )
     with _interp_prng_scope(interpret):
+        operands = [seed, x, *_w_operands(wqkv, w1q, wmidq, w2q, lnq, w1k,
+                                          wmidk, w2k, lnk, wout, lno, h2)]
+        if not stash:
+            operands.append(mask)
+        operands.append(g)
+        if stash:
+            operands.extend(stash_res)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -428,8 +654,7 @@ def _bwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(seed, x, *_w_operands(wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk,
-                                w2k, lnk, wout, lno, h2), mask, g)
+        )(*operands)
     if h2 is not None:
         (dx, dw1q, dwmidq, dw2q, dlnq, dw1k, dwmidk, dw2k, dlnk, dwqkv,
          dwout, dlno) = out
@@ -443,24 +668,30 @@ def _bwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
 def _tiled_layer(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
                  wout, lno, seed, cfg):
+    # primal (no grad requested): never stash - the residuals would be
+    # written and read by nobody
     return _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
-                     wout, lno, seed, cfg)
+                     wout, lno, seed, cfg[:12] + (False,))
 
 
 def _tiled_layer_fwd(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
                      wout, lno, seed, cfg):
-    y = _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
-                  wout, lno, seed, cfg)
-    return y, (x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
-               lno, seed)
+    out = _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                    wout, lno, seed, cfg)
+    if cfg[12]:
+        y, *stash_res = out
+        return y, (x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
+                   wout, lno, seed, tuple(stash_res))
+    return out, (x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
+                 lno, seed, None)
 
 
 def _tiled_layer_bwd(cfg, res, g):
     (x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout, lno,
-     seed) = res
+     seed, stash_res) = res
     (dx, dwqkv, dw1q, dwmidq, dw2q, dlnq, dw1k, dwmidk, dw2k, dlnk, dwout,
      dlno) = _bwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k,
-                       lnk, wout, lno, seed, g, cfg)
+                       lnk, wout, lno, seed, g, cfg, stash_res=stash_res)
     if dwmidq is None:
         dwmidq = jnp.zeros_like(wmidq)
         dwmidk = jnp.zeros_like(wmidk)
@@ -477,7 +708,8 @@ def fused_tiled_layer_vjp(x, layer_params, tile_tables, *, meta_units,
                           block_b: int = 32, interpret: bool = False,
                           attn_cap: int | None = None,
                           relu_out: bool = False, mode: str = "QK",
-                          pad_mult: int | None = None):
+                          pad_mult: int | None = None,
+                          bwd: str | None = None):
     """Differentiable tiled layer over a domain-dispatched batch.
 
     ``x``: [n_slots, F, d] where ``n_slots == n_tiles * block_b`` and
@@ -486,6 +718,10 @@ def fused_tiled_layer_vjp(x, layer_params, tile_tables, *, meta_units,
     params PRE-GATHERED per tile (``table[plan.tile_dom]``) - keeping the
     gather outside the custom-vjp boundary makes the per-tile gradient
     blocks flow back to the [D, P] tables via XLA's scatter-add.
+
+    ``bwd``: ``'stash'`` (default; env ``SATRANS_TILED_BWD`` overrides)
+    stores the forward residuals so the backward skips the attention /
+    projection recompute; ``'recompute'`` regenerates everything.
     """
     import os
 
@@ -526,8 +762,13 @@ def fused_tiled_layer_vjp(x, layer_params, tile_tables, *, meta_units,
     pad_f = (-F_) % pad_mult if pad_mult > 1 else 0
     if pad_f:
         x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
+    if bwd is None:
+        bwd = os.environ.get("SATRANS_TILED_BWD", "stash")
+    if bwd not in ("stash", "recompute"):
+        raise ValueError(f"unknown bwd mode {bwd!r}")
     cfg = (h, h2, head_num, drop_rate, train, block_b, interpret,
-           f_real if pad_f else None, attn_cap, relu_out, apply_q, apply_k)
+           f_real if pad_f else None, attn_cap, relu_out, apply_q, apply_k,
+           bwd == "stash")
     seed_arr = jnp.asarray([seed], jnp.int32)
     y = _tiled_layer(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk,
                      layer_params["wout"], lno, seed_arr, cfg)

@@ -312,3 +312,36 @@ def test_multicol_composite_trains():
     tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
     pred = tr.predict(x, batch_size=128)
     assert np.isfinite(pred).all()
+
+
+def test_multicol_tiled_bwd_modes_agree(monkeypatch):
+    """The tiled kernel's stash and recompute backwards must produce the
+    same grads under active dropout (each regenerates the same PRNG masks
+    from a different starting point)."""
+    from satrans_tpu.train import losses
+
+    _, base, batch, yb = _multicol_setup()
+    base["dropout_rate"] = 0.3
+    m = SATrans(use_fused_kernel=True, fused_interpret=True, **base)
+    params, state = m.init(jax.random.PRNGKey(0))
+    r = jax.random.PRNGKey(3)
+
+    def grads():
+        def f(p):
+            pred, _, _ = m.apply(p, state, batch, train=True, rng=r)
+            return losses.bce_sum(pred, yb)
+        return jax.grad(f)(params)
+
+    monkeypatch.setenv("SATRANS_TILED_BWD", "stash")
+    g_stash = grads()
+    monkeypatch.setenv("SATRANS_TILED_BWD", "recompute")
+    g_rec = grads()
+    nonzero = 0
+    for path, a in jax.tree_util.tree_leaves_with_path(g_stash):
+        b = g_rec
+        for k in path:
+            b = b[k.key] if hasattr(k, "key") else b[k.idx]
+        nonzero += int(np.abs(np.asarray(a)).max() > 0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(path))
+    assert nonzero > 4  # not trivially zero
