@@ -363,7 +363,7 @@ class SATrans:
                 if self.variant == "metanet" else self.layout.embedding_dim
             tiled = (self.variant == "metanet" and not single_col
                      and self.meta_rows > 8)
-            common_ok = (dom is not None and not return_scores
+            common_ok = (dom is not None
                          and blk is not None
                          and cdtype in (jnp.float32, jnp.bfloat16))
             metanet_ok = (common_ok and self.variant == "metanet"
@@ -372,6 +372,21 @@ class SATrans:
             simple_ok = (common_ok and self.variant in ("gate", "bilinear")
                          and (self.variant == "gate"
                               or self.meta_rows * max_h <= 4096))
+            if return_scores:
+                # Probe-mode (showattn/instattn) routing, MEASURED r5
+                # (bench_results/probe_throughput_v5e_r5.json): probes run
+                # under predict (no backward), where the XLA path does
+                # 496.5k ex/s at the sota shapes - FASTER than the fused
+                # score path (424.4k: stash writes of unused residuals +
+                # the block-diagonal unpack, and a ~9 min compile).  The
+                # r4 concern ("probes drop to the 164k path") conflated
+                # the TRAIN-mode XLA rate with inference.  Default is
+                # therefore XLA; SATRANS_PROBE_FUSED=1 opts into the
+                # kernel's score output (equality-tested either way).
+                probe_fused = (os.environ.get("SATRANS_PROBE_FUSED", "0")
+                               == "1")
+                metanet_ok = metanet_ok and not tiled and probe_fused
+                simple_ok = False
             supported = metanet_ok or simple_ok
             # SATRANS_FUSED=0 disables auto mode; jax.default_backend() is
             # static under trace.
@@ -422,20 +437,12 @@ class SATrans:
             else:
                 onehot = jax.nn.one_hot(dom, self.meta_rows,
                                         dtype=jnp.float32)
+                all_scores = []
                 for i, layer_p in enumerate(p["layers"]):
                     seed = jax.random.randint(jax.random.fold_in(rng, i),
                                               (), 0, 2 ** 31 - 1,
                                               dtype=jnp.int32)
-                    if self.variant == "metanet":
-                        x = meta_block.fused_meta_layer_vjp(
-                            x, layer_p, tables[i], onehot,
-                            meta_units=self.meta_units,
-                            head_num=self.att_head_num,
-                            drop_rate=self.dropout_rate, train=train,
-                            seed=seed, block_b=blk,
-                            interpret=self.fused_interpret,
-                            relu_out=self.relu_out, mode=self.meta_mode)
-                    else:
+                    if self.variant != "metanet":
                         x = gate_block.fused_simple_layer_vjp(
                             x, layer_p, tables[i], onehot,
                             variant=self.variant, mode=self.meta_mode,
@@ -444,11 +451,32 @@ class SATrans:
                             seed=seed, block_b=blk,
                             interpret=self.fused_interpret,
                             relu_out=self.relu_out)
+                    elif return_scores:
+                        x, scores = meta_block.fused_meta_layer_with_scores(
+                            x, layer_p, tables[i], onehot,
+                            meta_units=self.meta_units,
+                            head_num=self.att_head_num,
+                            drop_rate=self.dropout_rate, train=train,
+                            seed=seed, block_b=blk,
+                            interpret=self.fused_interpret,
+                            relu_out=self.relu_out, mode=self.meta_mode)
+                        all_scores.append(scores)
+                    else:
+                        x = meta_block.fused_meta_layer_vjp(
+                            x, layer_p, tables[i], onehot,
+                            meta_units=self.meta_units,
+                            head_num=self.att_head_num,
+                            drop_rate=self.dropout_rate, train=train,
+                            seed=seed, block_b=blk,
+                            interpret=self.fused_interpret,
+                            relu_out=self.relu_out, mode=self.meta_mode)
             flat = x.reshape(x.shape[0], -1).astype(jnp.float32)
             if self.layout.dense_dim > 0 and "dense" in batch:
                 flat = jnp.concatenate([flat, batch["dense"]], axis=1)
             logit = core.linear_apply(params["head"], flat)
             pred = core.prediction(logit, self.task)[:, 0]
+            if return_scores:
+                return pred, state, jnp.asarray(0.0), all_scores
             return pred, state, jnp.asarray(0.0)
 
         if cdtype != jnp.float32:

@@ -886,3 +886,40 @@ def test_fused_dropout_bwd_modes_agree_qonly_and_3matrix(mode, units3):
     for m in ("stash_light", "recompute"):
         np.testing.assert_allclose(np.asarray(gr(m)), base,
                                    rtol=2e-4, atol=2e-5, err_msg=m)
+
+
+def test_fused_probe_scores_match_xla_path(monkeypatch):
+    """return_scores can ride the metanet kernel (stash forward +
+    block-diagonal unpack, SATRANS_PROBE_FUSED=1): predictions AND
+    per-layer [B, H, F, F] attention probabilities must match the XLA
+    probe path.  The XLA route stays the DEFAULT - measured faster for
+    inference-mode probes (bench_results/probe_throughput_v5e_r5.json)."""
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    from satrans_tpu.features import FeatureLayout
+    from satrans_tpu.models import SATrans
+
+    monkeypatch.setenv("SATRANS_PROBE_FUSED", "1")
+    cols = synthetic_columns(num_sparse=5, vocab=50, dim=32, num_domains=3)
+    layout = FeatureLayout(cols)
+    kw = dict(layout=layout, domain_cols=["domain"], num_domains_list=[3],
+              domain_att_layer_num=2, att_head_num=4,
+              meta_dnn_hidden_units=(64, 32))
+    m_ref = SATrans(use_fused_kernel=False, **kw)
+    m_fused = SATrans(use_fused_kernel=True, fused_interpret=True,
+                      fused_block_b=16, **kw)
+    x, _ = synthetic_data(n=32, num_sparse=5, vocab=50)
+    batch = {k: jnp.asarray(v) for k, v in layout.batch_from_dict(x).items()}
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    p_ref, _, _, s_ref = m_ref.apply(params, state, batch,
+                                     return_scores=True)
+    p_fused, _, _, s_fused = m_fused.apply(params, state, batch,
+                                           return_scores=True)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-5)
+    assert len(s_fused) == len(s_ref) == 2
+    for i, (a, b) in enumerate(zip(s_ref, s_fused)):
+        assert b.shape == a.shape  # [B, H, F, F]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"layer{i}")
+        # probabilities: rows sum to 1
+        np.testing.assert_allclose(np.asarray(b).sum(-1), 1.0, atol=1e-4)
