@@ -41,6 +41,10 @@ EVAL_N = 65536
 CHECK_EVERY = int(os.environ.get("SATRANS_CONV_CHECK", "25"))
 MODES = tuple(os.environ.get("SATRANS_CONV_MODES",
                              "dense,fused,lazy").split(","))
+# scan_steps for the fit chunks: 'lazy_stale' only pipelines INSIDE a
+# scan chunk (chunk boundaries flush), so its convergence run needs
+# multi-step chunks to actually exercise the staleness
+SCAN_STEPS = int(os.environ.get("SATRANS_CONV_SCAN", "1"))
 
 # AliCCP-shaped vocabs (reference main.py:124-128 dominates at 4.3M/695k/
 # 472k/444k): 4.62M logical rows -> 1.16M physical rows at dim 32 (pack 4)
@@ -137,7 +141,8 @@ def run(out_path: str | None = None):
             sl = slice(steps_done * BATCH, (steps_done + k) * BATCH)
             xs = {kk: v[sl] for kk, v in x.items()}
             hist = tr.fit(xs, y[sl], batch_size=BATCH, epochs=1,
-                          shuffle=False, verbose=0)
+                          shuffle=False, verbose=0,
+                          scan_steps=min(SCAN_STEPS, k))
             steps_done += k
             pred = tr.predict(xe, batch_size=4 * BATCH)
             aucs.append(float(metrics.auc(ye, pred)))
@@ -156,6 +161,10 @@ def run(out_path: str | None = None):
     if "lazy" in d and "dense" in d:
         results["max_abs_auc_delta_lazy_vs_dense"] = float(np.max(np.abs(
             np.asarray(d["lazy"]["eval_auc"])
+            - np.asarray(d["dense"]["eval_auc"]))))
+    if "lazy_stale" in d and "dense" in d:
+        results["max_abs_auc_delta_stale_vs_dense"] = float(np.max(np.abs(
+            np.asarray(d["lazy_stale"]["eval_auc"])
             - np.asarray(d["dense"]["eval_auc"]))))
     if "fused" in d and "dense" in d:
         results["max_abs_auc_delta_fused_vs_dense"] = float(np.max(np.abs(

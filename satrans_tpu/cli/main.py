@@ -68,7 +68,7 @@ def parse_args(argv=None):
                              "mesh (optimizer state follows the rows)")
     parser.add_argument("--bank_update", type=str, default="auto",
                         choices=["auto", "dense", "fused", "fused_eq",
-                                 "lazy"],
+                                 "lazy", "lazy_stale"],
                         help="embedding-bank update path "
                              "(train/bank_optimizer.py; 'lazy' is the "
                              "documented deviation, PARITY.md)")

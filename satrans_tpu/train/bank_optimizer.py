@@ -482,8 +482,18 @@ def lazy_init(optimizer, params):
 
 def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
                 *, lr: float, l2: float, eq_plan: EqPlan | None = None,
-                force_xla: bool = False):
+                force_xla: bool = False, oob: str = "clip", count_add=1):
     """Touched-rows-only bank update (documented deviation, module doc).
+
+    ``oob='drop_negative'`` (the stale-commit pipeline's contract,
+    :func:`Trainer` ``bank_update='lazy_stale'``): NEGATIVE ids are
+    sentinel "no pending row" slots - they are redirected one-past-end so
+    every write (XLA ``mode='drop'`` and the kernel's ``0 <= id < R``
+    predicate) drops them, while in-range ids keep the clip semantics.
+    ``g_rest=None`` skips the non-bank optimizer update entirely (the
+    pipeline's trailing flush commits bank rows only - an Adam step on
+    zero rest-grads would NOT be a no-op: nonzero moments still move the
+    params).
 
     With ``eq_plan`` (make_eq_plan), duplicates are combined by equality
     GEMMs instead of sort+segment-sum and every POSITION carries its row's
@@ -510,11 +520,30 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
     """
     bank = params["emb"]["bank"]
     rest_state, b = opt_state
-    count_inc = b["count"] + 1
+    # ``count_add`` (default 1) lets the stale pipeline keep ``count`` at
+    # "steps COMMITTED": its first scan iteration commits an empty
+    # pending and passes 0, so every deferred commit then runs with the
+    # step index its gradients were computed at - same decay exponents
+    # and bias corrections as an immediate commit.  (The add-0 path
+    # computes garbage corrections at cnt=0; every one of its writes is
+    # sentinel-dropped.)
+    count_inc = b["count"] + count_add
 
     rest = _split_bank(params)[0]
-    updates, rest_state = optimizer.update(g_rest, rest_state, rest)
-    rest_new = optax.apply_updates(rest, updates)
+    if g_rest is None:  # bank-only commit (stale-pipeline flush)
+        rest_new = rest
+    else:
+        updates, rest_state = optimizer.update(g_rest, rest_state, rest)
+        rest_new = optax.apply_updates(rest, updates)
+
+    if oob == "drop_negative":
+        # sentinel slots (< 0) must be DROPPED, not clipped onto row 0:
+        # redirect them one-past-end where every write path drops them;
+        # real ids keep the clip contract
+        flat_ids = jnp.where(flat_ids < 0, bank.shape[0],
+                             jnp.clip(flat_ids, 0, bank.shape[0] - 1))
+    elif oob != "clip":
+        raise ValueError(f"unknown oob mode {oob!r}")
 
     tail = "split" if force_xla else _lazy_tail_impl()
     if use_eqgemm(eq_plan, flat_ids.shape[0]):
@@ -536,9 +565,12 @@ def lazy_update(optimizer, params, opt_state, flat_ids, g_rows, g_rest,
         u_safe = tgt                 # _eq_combine returns in-range targets
         valid, unique = None, False
     else:
-        flat_ids = jnp.clip(flat_ids, 0, bank.shape[0] - 1)
+        if oob == "clip":
+            flat_ids = jnp.clip(flat_ids, 0, bank.shape[0] - 1)
+        # drop_negative: ids already in [0, R-1] + the R sentinel, which
+        # rides the combine as a normal id and is dropped by every write
         u, gu, valid = embeddings.combine_duplicate_rows(flat_ids, g_rows)
-        u_safe = jnp.where(valid, u, 0)
+        u_safe = jnp.where(valid & (u < bank.shape[0]), u, 0)
         tgt = jnp.where(valid, u, bank.shape[0])
         unique = True
         sorted_ids = True

@@ -210,10 +210,19 @@ class Trainer:
           owning devices and commits shard-locally
           (parallel/bank_sharded.py); ``lazy_capacity_factor`` bounds the
           per-owner exchange capacity (None = exact worst case).
+        * ``'lazy_stale'``: lazy plus a STALE-BY-ONE commit pipeline
+          inside the fused train scan (single device only): each scan
+          step's row commit is deferred one step so it leaves the next
+          gather's critical path and can overlap the layer compute; the
+          chunk end flushes the last pending rows.  A further documented
+          deviation (embeddings read by step k+1 exclude step k's
+          update); opt-in, convergence-evidence-gated like 'lazy'
+          (bench/lazy_convergence.py --mode stale).
         * ``'dense'``: the faithful round-1 path (works for every model and
           optimizer).
         """
-        if bank_update not in ("auto", "dense", "fused", "fused_eq", "lazy"):
+        if bank_update not in ("auto", "dense", "fused", "fused_eq", "lazy",
+                               "lazy_stale"):
             raise ValueError(f"unknown bank_update {bank_update!r}")
         self.bank_update = bank_update
         self.lazy_capacity_factor = lazy_capacity_factor
@@ -256,7 +265,7 @@ class Trainer:
         from .. import embeddings as _emb
         _emb.set_forward_gather("auto" if self.mesh is None else "xla")
 
-        if bank_mode in ("fused", "fused_eq", "lazy"):
+        if bank_mode in ("fused", "fused_eq", "lazy", "lazy_stale"):
             from . import bank_optimizer
 
             l2 = float(model.l2_reg_embedding)
@@ -369,16 +378,70 @@ class Trainer:
             Removes per-step dispatch latency entirely - the natural TPU
             execution shape for a fixed-size hot loop (SURVEY.md 3.1's hot
             loop becomes one device program per K steps).
-            """
-            def body(carry, inp):
-                p, o, s = carry
-                b, y, w, r = inp
-                p, o, s, stats = train_step(p, o, s, b, y, w, r)
-                return (p, o, s), stats
 
-            (params, opt_state, state), stats = jax.lax.scan(
-                body, (params, opt_state, state), (batches, ys, ws, rngs),
+            ``bank_update='lazy_stale'`` software-pipelines the bank
+            commit: iteration t commits iteration t-1's rows, so the
+            commit leaves the t-th gather's critical path (only the
+            anti-dependency "gather before overwrite" remains) and XLA
+            may overlap it with the layer compute.  The chunk's first
+            iteration commits an all-sentinel pending (dropped writes);
+            the chunk end flushes the final pending rows bank-only.
+            """
+            if bank_mode != "lazy_stale":
+                def body(carry, inp):
+                    p, o, s = carry
+                    b, y, w, r = inp
+                    p, o, s, stats = train_step(p, o, s, b, y, w, r)
+                    return (p, o, s), stats
+
+                (params, opt_state, state), stats = jax.lax.scan(
+                    body, (params, opt_state, state),
+                    (batches, ys, ws, rngs), unroll=self.scan_unroll)
+                totals = jax.tree.map(jnp.sum, stats)
+                return params, opt_state, state, totals
+
+            from . import bank_optimizer
+            l2s = float(model.l2_reg_embedding)
+            b0 = jax.tree.map(lambda a: a[0], batches)
+            n_ids = _emb.bank_gather_plan(params["emb"], model.layout,
+                                          b0).shape[0]
+            width = params["emb"]["bank"].shape[1]
+            pending0 = (jnp.full((n_ids,), -1, jnp.int32),
+                        jnp.zeros((n_ids, width), jnp.float32))
+
+            k_steps = ys.shape[0]
+            # the first iteration commits the empty pending: it must not
+            # advance the bank's committed-step counter (count semantics
+            # = steps COMMITTED; see bank_optimizer.lazy_update count_add)
+            count_adds = (jnp.arange(k_steps, dtype=jnp.int32) > 0
+                          ).astype(jnp.int32)
+
+            def body(carry, inp):
+                p, o, s, pend = carry
+                b, y, w, r, cadd = inp
+                b = dict(b, _weight=w)
+                (flat_ids, g_rows, g_rest, new_s, data_loss, reg,
+                 aux) = bank_optimizer.sparse_bank_grads(
+                    model, strategy, p, s, b, y, w, r, gather_fn=gather_fn)
+                # commit LAST step's rows; fresh non-bank update
+                p, o = bank_optimizer.lazy_update(
+                    self.optimizer, p, o, pend[0], pend[1], g_rest,
+                    lr=self._lr, l2=l2s, eq_plan=None,
+                    force_xla=force_xla, oob="drop_negative",
+                    count_add=cadd)
+                stats = {"loss": data_loss, "reg_loss": reg,
+                         "aux_loss": aux, "count": jnp.sum(w)}
+                return (p, o, new_s, (flat_ids, g_rows)), stats
+
+            (params, opt_state, state, pend), stats = jax.lax.scan(
+                body, (params, opt_state, state, pending0),
+                (batches, ys, ws, rngs, count_adds),
                 unroll=self.scan_unroll)
+            # trailing bank-only flush of the final pending rows
+            params, opt_state = bank_optimizer.lazy_update(
+                self.optimizer, params, opt_state, pend[0], pend[1], None,
+                lr=self._lr, l2=l2s, eq_plan=None, force_xla=force_xla,
+                oob="drop_negative")
             totals = jax.tree.map(jnp.sum, stats)
             return params, opt_state, state, totals
 
@@ -418,11 +481,16 @@ class Trainer:
                 # and 'lazy' is a documented deviation - both opt-in
                 # (docs/PERFORMANCE.md r4).
                 mode = "dense"
-        elif mode in ("fused", "fused_eq", "lazy") and not elig:
+        elif mode in ("fused", "fused_eq", "lazy", "lazy_stale") \
+                and not elig:
             raise ValueError(
                 f"bank_update={mode!r} needs the stock 'adam' optimizer and "
                 "a standard_bank_access model "
                 f"({type(self.model).__name__} is not)")
+        if mode == "lazy_stale" and self.mesh is not None:
+            raise ValueError("bank_update='lazy_stale' is single-device "
+                             "only (the sharded commit is already "
+                             "owner-routed off the critical path)")
         if self.embedding_exchange == "alltoall" and mode not in (
                 "fused", "fused_eq", "lazy"):
             raise ValueError("embedding_exchange='alltoall' routes the bank "
@@ -439,7 +507,7 @@ class Trainer:
                 self.params = shlib.pad_banks(self.params,
                                               self.mesh.devices.size)
             self._resolve_bank_mode()
-            if self._bank_mode == "lazy":
+            if self._bank_mode in ("lazy", "lazy_stale"):
                 from . import bank_optimizer
                 self.opt_state = bank_optimizer.lazy_init(self.optimizer,
                                                           self.params)

@@ -955,3 +955,110 @@ def test_forward_gather_interpret_matches_xla():
     finally:
         embeddings.set_forward_gather("xla")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# round-5: stale-by-one commit pipeline (bank_update='lazy_stale')
+# ---------------------------------------------------------------------------
+
+def _stale_setup(n=512, vocab=400):
+    from satrans_tpu.data.synthetic import synthetic_columns, synthetic_data
+    cols = synthetic_columns(num_sparse=3, vocab=vocab, dim=8)
+    layout = FeatureLayout(cols)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4, dropout_rate=0.0)
+    x, y = synthetic_data(n=n, num_sparse=3, vocab=vocab, seed=5)
+    return layout, model, x, y
+
+
+def _fit_mode(model, x, y, mode, batch=128, scan_steps=1):
+    tr = Trainer(model, seed=7, scan_unroll=1)
+    tr.compile(learning_rate=0.01, bank_update=mode)
+    tr.fit(x, y, batch_size=batch, epochs=1, shuffle=False, verbose=0,
+           scan_steps=scan_steps)
+    return tr
+
+
+def test_lazy_stale_single_step_chunks_equal_lazy():
+    """With scan chunks of ONE step, the pipeline degenerates to plain
+    lazy exactly: the body commits the empty pending and the chunk-end
+    flush commits the step's rows - same math, same order."""
+    _, model, x, y = _stale_setup()
+    tr_l = _fit_mode(model, x, y, "lazy", scan_steps=1)
+    tr_s = _fit_mode(model, x, y, "lazy_stale", scan_steps=1)
+    for k in ("bank", "small"):
+        np.testing.assert_allclose(np.asarray(tr_s.params["emb"][k]),
+                                   np.asarray(tr_l.params["emb"][k]),
+                                   atol=1e-6, rtol=1e-5, err_msg=k)
+    np.testing.assert_allclose(tr_s.predict(x, 128), tr_l.predict(x, 128),
+                               atol=1e-5)
+
+
+def test_lazy_stale_disjoint_batches_equal_lazy():
+    """When consecutive batches touch DISJOINT embedding rows, a
+    one-step-late commit is invisible (no read ever races a deferred
+    write, and commit-time row values match), so stale == lazy exactly.
+    This pins the pipeline's bookkeeping (pending threading, sentinel
+    drops, trailing flush) without the staleness confound."""
+    from satrans_tpu.data.synthetic import synthetic_columns
+    cols = synthetic_columns(num_sparse=3, vocab=2000, dim=8)
+    layout = FeatureLayout(cols)
+    model = SATrans(layout=layout, domain_cols=["domain"],
+                    num_domains_list=[3], domain_att_layer_num=1,
+                    att_head_num=2, meta_dnn_hidden_units=(16, 8),
+                    l2_reg_embedding=1e-4, dropout_rate=0.0)
+    # 4 batches of 64; batch i draws ids from its OWN quarter of the vocab
+    rng = np.random.default_rng(0)
+    parts = []
+    for i in range(4):
+        lo, hi = 1 + i * 450, 1 + (i + 1) * 450
+        parts.append({f"f{j}": rng.integers(lo, hi, 64) for j in range(2)})
+        parts[-1]["f2"] = rng.integers(lo, hi, 64)
+        parts[-1]["domain"] = rng.integers(1, 4, 64)
+    x = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    y = rng.integers(0, 2, 256).astype(np.float32)
+    # NOTE the domain column is shared across batches - its rows live in
+    # the SIDE bank (vocab <= 256), which updates densely, not lazily
+    tr_l = _fit_mode(model, x, y, "lazy", batch=64, scan_steps=4)
+    tr_s = _fit_mode(model, x, y, "lazy_stale", batch=64, scan_steps=4)
+    np.testing.assert_allclose(np.asarray(tr_s.params["emb"]["bank"]),
+                               np.asarray(tr_l.params["emb"]["bank"]),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_lazy_stale_trains_and_stays_close():
+    """Overlapping batches: stale is a real deviation - it must still
+    LEARN like plain lazy (the deferred commit shifts each read by one
+    step; convergence evidence at scale lives in
+    bench/lazy_convergence.py --mode stale)."""
+    from satrans_tpu.train import metrics
+
+    _, model, x, y = _stale_setup(n=1024)
+
+    def fit(mode):
+        tr = Trainer(model, seed=7)
+        tr.compile(learning_rate=0.01, bank_update=mode)
+        tr.fit(x, y, batch_size=128, epochs=4, shuffle=False, verbose=0,
+               scan_steps=4)
+        return tr
+
+    p_l = fit("lazy").predict(x, 256)
+    p_s = fit("lazy_stale").predict(x, 256)
+    assert np.isfinite(p_s).all()
+    auc_l, auc_s = metrics.auc(y, p_l), metrics.auc(y, p_s)
+    assert auc_s > 0.8, auc_s                 # actually learns
+    assert abs(auc_s - auc_l) < 0.02, (auc_l, auc_s)
+    corr = np.corrcoef(p_l, p_s)[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_lazy_stale_rejects_mesh():
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    _, model, _, _ = _stale_setup()
+    tr = Trainer(model, mesh=mesh, shard_embeddings=True)
+    tr.compile(bank_update="lazy_stale")
+    tr._strategy = tr._resolve_strategy(None)
+    with pytest.raises(ValueError, match="single-device"):
+        tr._ensure_initialized()
