@@ -23,8 +23,14 @@ REPS = 20
 
 
 def run_mode(fused: bool) -> dict:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # the probe routing defaults to XLA (measured faster - module doc);
+    # the fused arm must OPT IN or this bench would compare XLA with XLA
+    os.environ["SATRANS_PROBE_FUSED"] = "1" if fused else "0"
 
     from ..features import FeatureLayout, SparseFeature
     from ..models import SATrans

@@ -67,6 +67,10 @@ VARIANTS = {
     # middle matrix rides block-diagonally in the kernel)
     "metanet3": ({"meta_dnn_hidden_units": (64, 64, 32)}, "1"),
     "metanet3_xla": ({"meta_dnn_hidden_units": (64, 64, 32)}, "0"),
+    # small-product multi-column (301 x 124 -> 12 combos): measures the
+    # masked-vs-tiled crossover (SATRANS_TILED_MIN_ROWS flips the path)
+    "multicol_small": ({"domain_cols": ["301", "124"],
+                        "num_domains_list": [3, 2]}, "1"),
 }
 
 

@@ -325,11 +325,12 @@ class SATrans:
         blk = None
         if fused is None or fused:
             cands = (self.fused_block_b, 256, 128, 64, 32, 16)
-            if self.meta_rows > 8:
-                # composite tables widen every per-domain operand by R/D x;
-                # smaller tiles keep the [N, R*h] masked-GEMM
-                # intermediates inside VMEM (measured in
-                # bench/variant_matrix.py 'multicol')
+            if self.use_composite and self.meta_rows > 8:
+                # COMPOSITE product tables only (a single-column model
+                # with many domains keeps its fused_block_b): wide
+                # per-domain operands and the tiled dispatch's slack both
+                # favor small tiles - 32 measured best
+                # (bench/variant_matrix.py 'multicol', r5 sweep 16/32/64/128)
                 cands = (int(os.environ.get("SATRANS_BLOCK_B_COMPOSITE",
                                             "32")), 16)
             for cand in cands:
@@ -361,8 +362,13 @@ class SATrans:
             # single-domain, so the per-tile GEMMs are R-independent.
             max_h = max(self.meta_units[1:-1] or [self.meta_units[1]]) \
                 if self.variant == "metanet" else self.layout.embedding_dim
+            # masked-vs-tiled crossover for composite tables: the masked
+            # wide GEMM costs ~R/(D+1)x the single-column meta FLOPs, the
+            # dispatch costs slack rows + two permutes; measured crossover
+            # recorded in bench/variant_matrix.py 'multicol_small*' rows
+            tiled_min = int(os.environ.get("SATRANS_TILED_MIN_ROWS", "8"))
             tiled = (self.variant == "metanet" and not single_col
-                     and self.meta_rows > 8)
+                     and self.meta_rows > tiled_min)
             common_ok = (dom is not None
                          and blk is not None
                          and cdtype in (jnp.float32, jnp.bfloat16))

@@ -88,8 +88,11 @@ def scatter(x, p: DispatchPlan):
     return jnp.where(valid, x[jnp.maximum(p.src, 0)], 0).astype(x.dtype)
 
 
-def gather_back(buf, p: DispatchPlan, B: int):
+def gather_back(buf, p: DispatchPlan):
     """Inverse of :func:`scatter`: padded buffer -> original order
-    (one gather by precomputed slot indices)."""
-    del B
+    (one gather by the precomputed slot indices; length is ``B``).
+
+    SATrans itself gathers only the scalar prediction back
+    (``pred[p.back]``, models/satrans.py) - this full-tensor inverse is
+    for callers that need the per-field output in batch order."""
     return buf[p.back]

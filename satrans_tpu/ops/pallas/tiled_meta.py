@@ -44,16 +44,12 @@ from .meta_block import (F32, _attention, _attn_bwd_heads, _attn_group,
                          _interp_prng_scope, _layer_norm_bwd,
                          _layer_norm_fwd, _pack_lns, _prng_seed,
                          _softmax_lastdim, _attn_variant, _head_masks,
-                         _stash_specs)
-
-
-def _split_w(rest, h2):
-    """Weight refs after ``wqkv``: (w1q, wmidq, w2q, lnq, w1k, wmidk,
-    w2k, lnk, wout, lno), tail."""
-    if h2 is not None:
-        return tuple(rest[:10]), rest[10:]
-    w1q, w2q, lnq, w1k, w2k, lnk, wout, lno = rest[:8]
-    return (w1q, None, w2q, lnq, w1k, None, w2k, lnk, wout, lno), rest[8:]
+                         _stash_specs,
+                         # the weight-ref unpacking CONTRACT is shared
+                         # with meta_block (same ordering, per-tile
+                         # blocks here vs packed-wide there) - one
+                         # definition so the two kernels cannot diverge
+                         _split_w, _w_operands)
 
 
 def _tile_meta(t0, w1_ref, wmid_ref, w2_ref):
@@ -520,13 +516,6 @@ def _w_specs(block_b, F_, d, h, h2, hl, mask_shape=None):
     if mask_shape is not None:
         specs.append(pl.BlockSpec(mask_shape, lambda i, *_: (0, 0, 0)))
     return specs
-
-
-def _w_operands(wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,
-                lno, h2):
-    if h2 is not None:
-        return [wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout, lno]
-    return [wqkv, w1q, w2q, lnq, w1k, w2k, lnk, wout, lno]
 
 
 def _fwd_call(x, wqkv, w1q, wmidq, w2q, lnq, w1k, wmidk, w2k, lnk, wout,

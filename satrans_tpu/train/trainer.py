@@ -216,8 +216,12 @@ class Trainer:
           gather's critical path and can overlap the layer compute; the
           chunk end flushes the last pending rows.  A further documented
           deviation (embeddings read by step k+1 exclude step k's
-          update); opt-in, convergence-evidence-gated like 'lazy'
-          (bench/lazy_convergence.py --mode stale).
+          update); opt-in, and MEASURED SLOWER than plain lazy on v5e
+          (docs/PERFORMANCE.md round 5) - kept as a tested negative
+          result.  Convergence studies use bench/lazy_convergence.py
+          with SATRANS_CONV_MODES=dense,lazy,lazy_stale and
+          SATRANS_CONV_SCAN > 1 (at 1-step scan chunks the pipeline
+          degenerates to plain lazy).
         * ``'dense'``: the faithful round-1 path (works for every model and
           optimizer).
         """
